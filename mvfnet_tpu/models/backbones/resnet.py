@@ -1,0 +1,277 @@
+"""2-D ResNet backbone, channels-last Flax.
+
+TPU-native re-design of the reference ResNet
+(``/root/reference/codes/models/backbones/resnet.py:329-527``). Functional
+differences from a straight port:
+
+- activations are NHWC (C minor feeds the MXU/VPU natively; no transposes)
+- temporal modules (MVF / CoST / non-local) are **declared** per stage via
+  ``temporal_cfg`` + ``temporal_freq`` instead of runtime module surgery
+  (reference ``recognizer2d.py:45-101`` + ``MVF.py:18-49``); each selected
+  block runs the module on its input before conv1, exactly where the
+  reference's wrapped ``b.conv1`` placed it
+- BN train/eval policy (``norm_eval``, ``frozen_stages``, ``partial_norm``,
+  ``resnet.py:496-527``) is expressed through ``use_running_average`` flags
+  here and optimizer masks in the engine (parameter freezing is a gradient
+  concern in JAX, not a module-state concern)
+
+Supported arch options mirror the reference: depths 18/34/50/101/152,
+pytorch/caffe styles, per-stage strides/dilations, ``avg_down`` / ``avd`` /
+``avd_first`` (ResNeSt tricks), ``deep_stem``, ``out_indices``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..builder import BACKBONES
+from ..common import (avg_pool_torch, conv2d, make_norm,
+                      max_pool_same_as_torch)
+from ..modules.mvf import MVF
+
+Dtype = Any
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock (reference ``resnet.py:24-101``)."""
+    inplanes: int
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    with_downsample: bool = False
+    style: str = 'pytorch'
+    norm_cfg: Optional[Dict] = None
+    avg_down: bool = False
+    temporal_cfg: Optional[Dict] = None
+    dtype: Dtype = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 norm_eval: bool = False) -> jnp.ndarray:
+        use_ra = (not train) or norm_eval
+        identity = x
+        out = x
+        if self.temporal_cfg:
+            out = _build_temporal(self.temporal_cfg, self.inplanes,
+                                  self.dtype)(out, train=train)
+        out = conv2d(self.planes, 3, stride=self.stride, padding=self.dilation,
+                     dilation=self.dilation, name='conv1',
+                     dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        out = nn.relu(out)
+        out = conv2d(self.planes, 3, padding=1, name='conv2',
+                     dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        if self.with_downsample:
+            identity = _downsample(x, self.planes * self.expansion,
+                                   self.stride, self.dilation, self.avg_down,
+                                   self.norm_cfg, use_ra, self.dtype)
+        out = out + identity
+        return nn.relu(out)
+
+
+class Bottleneck(nn.Module):
+    """ResNet Bottleneck (reference ``resnet.py:104-244``).
+
+    When ``temporal_cfg`` is set, the temporal module (e.g. MVF) runs on the
+    block input before conv1 — the exact insertion point of the reference's
+    ``blocks[i].conv1 = MVF(b.conv1, ...)`` wrapping (``MVF.py:38,138``).
+    """
+    inplanes: int
+    planes: int
+    stride: int = 1
+    dilation: int = 1
+    with_downsample: bool = False
+    style: str = 'pytorch'
+    norm_cfg: Optional[Dict] = None
+    avg_down: bool = False
+    avd: bool = False
+    avd_first: bool = False
+    temporal_cfg: Optional[Dict] = None
+    dtype: Dtype = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 norm_eval: bool = False) -> jnp.ndarray:
+        use_ra = (not train) or norm_eval
+        avd = self.avd and self.stride > 1
+        stride = 1 if avd else self.stride
+        if self.style == 'pytorch':
+            conv1_stride, conv2_stride = 1, stride
+        else:  # caffe
+            conv1_stride, conv2_stride = stride, 1
+
+        identity = x
+        out = x
+        if self.temporal_cfg:
+            out = _build_temporal(self.temporal_cfg, self.inplanes,
+                                  self.dtype)(out, train=train)
+        out = conv2d(self.planes, 1, stride=conv1_stride, name='conv1',
+                     dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        out = nn.relu(out)
+        if avd and self.avd_first:
+            out = avg_pool_torch(out, 3, self.stride, padding=1)
+        out = conv2d(self.planes, 3, stride=conv2_stride,
+                     padding=self.dilation, dilation=self.dilation,
+                     name='conv2', dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        out = nn.relu(out)
+        if avd and not self.avd_first:
+            out = avg_pool_torch(out, 3, self.stride, padding=1)
+        out = conv2d(self.planes * self.expansion, 1, name='conv3',
+                     dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn3', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        if self.with_downsample:
+            identity = _downsample(x, self.planes * self.expansion,
+                                   self.stride, self.dilation, self.avg_down,
+                                   self.norm_cfg, use_ra, self.dtype)
+        out = out + identity
+        return nn.relu(out)
+
+
+def _downsample(x, out_ch, stride, dilation, avg_down, norm_cfg, use_ra,
+                dtype):
+    """Shortcut projection (reference ``make_res_layer``, ``resnet.py:279-304``)."""
+    if avg_down:
+        if dilation == 1:
+            x = avg_pool_torch(x, stride, stride, ceil_mode=True,
+                               count_include_pad=False)
+        out = conv2d(out_ch, 1, stride=1, name='downsample_conv',
+                     dtype=dtype)(x)
+    else:
+        out = conv2d(out_ch, 1, stride=stride, name='downsample_conv',
+                     dtype=dtype)(x)
+    return make_norm(norm_cfg, name='downsample_bn', dtype=dtype)(
+        out, use_running_average=use_ra)
+
+
+def _build_temporal(cfg: Dict, in_channels: int, dtype) -> nn.Module:
+    cfg = dict(cfg)
+    kind = cfg.pop('type')
+    if kind == 'MVF':
+        return MVF(in_channels=in_channels, dtype=dtype, **cfg)
+    if kind == 'CoST':
+        from ..modules.cost import CoST
+        return CoST(in_channels=in_channels, dtype=dtype, **cfg)
+    raise KeyError(f'Unknown temporal module {kind}')
+
+
+@BACKBONES.register_module
+class ResNet(nn.Module):
+    """ResNet-18/34/50/101/152, NHWC.
+
+    ``temporal_cfg``: dict like ``dict(type='MVF', n_segment=8, alpha=0.125,
+    mode='THW')`` (the reference's ``module_cfg`` minus ``mvf_freq``).
+    ``temporal_freq``: per-stage 0/1 mask, the reference's ``mvf_freq``
+    (``MVF.py:42-49``); every block of a selected stage gets the module
+    (n_round == 1 in the reference, ``MVF.py:27-38``).
+    """
+    depth: int
+    in_channels: int = 3
+    num_stages: int = 4
+    strides: Sequence[int] = (1, 2, 2, 2)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    style: str = 'pytorch'
+    frozen_stages: int = -1
+    norm_cfg: Optional[Dict] = None
+    norm_eval: bool = True
+    norm_frozen: bool = False
+    partial_norm: bool = False
+    avg_down: bool = False
+    avd: bool = False
+    avd_first: bool = False
+    deep_stem: bool = False
+    stem_width: int = 64
+    temporal_cfg: Optional[Dict] = None
+    temporal_freq: Sequence[int] = (0, 0, 0, 0)
+    pretrained: Optional[str] = None   # resolved by the checkpoint loader
+    with_cp: bool = False              # remat; applied per res-stage
+    dtype: Dtype = jnp.float32
+
+    arch_settings = {
+        18: (BasicBlock, (2, 2, 2, 2)),
+        34: (BasicBlock, (3, 4, 6, 3)),
+        50: (Bottleneck, (3, 4, 6, 3)),
+        101: (Bottleneck, (3, 4, 23, 3)),
+        152: (Bottleneck, (3, 8, 36, 3)),
+    }
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        if self.depth not in self.arch_settings:
+            raise KeyError(f'invalid depth {self.depth} for resnet')
+        block_cls, stage_blocks = self.arch_settings[self.depth]
+        stage_blocks = stage_blocks[:self.num_stages]
+        use_ra = (not train) or self.norm_eval
+
+        if self.deep_stem:
+            sw = self.stem_width
+            for i, (ch, st) in enumerate([(sw, 2), (sw, 1), (sw * 2, 1)]):
+                x = conv2d(ch, 3, stride=st, padding=1,
+                           name=f'stem_conv{i + 1}', dtype=self.dtype)(x)
+                if i < 2:
+                    x = make_norm(self.norm_cfg, name=f'stem_bn{i + 1}',
+                                  dtype=self.dtype)(
+                        x, use_running_average=use_ra)
+                    x = nn.relu(x)
+            inplanes = sw * 2
+        else:
+            x = conv2d(64, 7, stride=2, padding=3, name='conv1',
+                       dtype=self.dtype)(x)
+            inplanes = 64
+        x = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
+            x, use_running_average=use_ra)
+        x = nn.relu(x)
+        x = max_pool_same_as_torch(x, 3, 2, 1)
+
+        outs = []
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = 64 * 2 ** i
+            stage_temporal = (self.temporal_cfg
+                              if self.temporal_cfg and self.temporal_freq[i]
+                              else None)
+            for j in range(num_blocks):
+                stride = self.strides[i] if j == 0 else 1
+                with_ds = (j == 0 and
+                           (self.strides[i] != 1
+                            or inplanes != planes * block_cls.expansion))
+                kwargs = dict(
+                    inplanes=inplanes,
+                    planes=planes,
+                    stride=stride,
+                    dilation=self.dilations[i],
+                    with_downsample=with_ds,
+                    style=self.style,
+                    norm_cfg=self.norm_cfg,
+                    avg_down=self.avg_down,
+                    temporal_cfg=stage_temporal,
+                    dtype=self.dtype,
+                    name=f'layer{i + 1}_{j}',
+                )
+                if block_cls is Bottleneck:
+                    kwargs.update(avd=self.avd, avd_first=self.avd_first)
+                # with_cp (activation rematerialization) is applied at the
+                # train-step level via jax.checkpoint policies; block-level
+                # remat is unnecessary under XLA.
+                x = block_cls(**kwargs)(x, train=train,
+                                        norm_eval=self.norm_eval)
+                inplanes = planes * block_cls.expansion
+            if i in self.out_indices:
+                outs.append(x)
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(outs)

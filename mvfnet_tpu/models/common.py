@@ -1,0 +1,134 @@
+"""Shared model building blocks (norm factory, conv helpers, SE, activations).
+
+TPU-native replacements for the reference's ``codes/models/common/``
+(``conv_module.py``, ``norm.py:28-71``, ``se_module.py:5-67``): channels-last
+Flax modules with fp32 params and a configurable compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.mvf import hard_sigmoid, hard_swish  # re-export for model code
+
+Dtype = Any
+
+# torch BatchNorm defaults: eps=1e-5, momentum=0.1 (new stats weight).
+# flax momentum is the *old* stats weight -> 0.9.
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
+
+
+def make_norm(norm_cfg: Optional[Dict[str, Any]],
+              *,
+              name: str,
+              dtype: Dtype = jnp.float32) -> Callable:
+    """Build a norm layer from a ``dict(type='BN'|'GN'|'SyncBN', ...)`` node.
+
+    Mirrors the reference factory (``codes/models/common/norm.py:28-71``).
+    ``requires_grad`` is an optimizer-mask concern in JAX and handled by the
+    training engine, not here. Returns an *unapplied* linen module; BatchNorm
+    instances must be called with ``use_running_average``.
+    """
+    cfg = dict(norm_cfg or {'type': 'BN'})
+    norm_type = cfg.pop('type', 'BN')
+    cfg.pop('requires_grad', None)
+    if norm_type in ('BN', 'BN3d', 'SyncBN'):
+        return nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                            dtype=dtype, param_dtype=jnp.float32, name=name,
+                            **cfg)
+    if norm_type == 'GN':
+        num_groups = cfg.pop('num_groups')
+        return nn.GroupNorm(num_groups=num_groups, epsilon=BN_EPS,
+                            dtype=dtype, param_dtype=jnp.float32, name=name,
+                            **cfg)
+    raise KeyError(f'Unrecognized norm type {norm_type}')
+
+
+def conv2d(features: int,
+           kernel_size: int | Tuple[int, int],
+           *,
+           stride: int | Tuple[int, int] = 1,
+           padding: int | Tuple[int, int] | str = 0,
+           dilation: int = 1,
+           use_bias: bool = False,
+           name: Optional[str] = None,
+           dtype: Dtype = jnp.float32) -> nn.Conv:
+    """torch-semantics Conv2d on NHWC input (explicit symmetric padding)."""
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    if isinstance(padding, int):
+        padding = ((padding, padding), (padding, padding))
+    elif isinstance(padding, tuple) and isinstance(padding[0], int):
+        padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    return nn.Conv(features=features, kernel_size=kernel_size,
+                   strides=stride, padding=padding,
+                   kernel_dilation=(dilation, dilation),
+                   use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32,
+                   name=name)
+
+
+def max_pool_same_as_torch(x: jnp.ndarray, window: int, stride: int,
+                           padding: int) -> jnp.ndarray:
+    """torch MaxPool2d(window, stride, padding) on NHWC input.
+
+    torch pads with -inf implicitly (padding never wins the max)."""
+    return nn.max_pool(
+        x, (window, window), strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)))
+
+
+def avg_pool_torch(x: jnp.ndarray, window: int, stride: int, padding: int = 0,
+                   count_include_pad: bool = True,
+                   ceil_mode: bool = False) -> jnp.ndarray:
+    """torch AvgPool2d semantics on NHWC input.
+
+    Only the configurations the reference uses are supported:
+    - ``AvgPool2d(3, stride, padding=1)`` (avd layer, count_include_pad=True)
+    - ``AvgPool2d(k, k, ceil_mode=True, count_include_pad=False)`` (avg_down)
+    """
+    if ceil_mode:
+        h, w = x.shape[1], x.shape[2]
+        pad_h = (-(h - window) % stride) if h > window else 0
+        pad_w = (-(w - window) % stride) if w > window else 0
+    else:
+        pad_h = pad_w = 0
+    pads = ((padding, padding + pad_h), (padding, padding + pad_w))
+    summed = nn.pool(x, 0.0, jnp.add, (window, window), (stride, stride), pads)
+    if count_include_pad and not ceil_mode:
+        return summed / (window * window)
+    ones = jnp.ones(x.shape[1:3] + (1,), x.dtype)[None]
+    counts = nn.pool(ones, 0.0, jnp.add, (window, window), (stride, stride),
+                     pads)
+    return summed / counts
+
+
+class SEModule(nn.Module):
+    """Squeeze-and-excitation on channels-last input of any spatial rank.
+
+    Covers both the reference's SE2D and SE3D (``se_module.py:27-67``):
+    global-average over all non-channel, non-batch axes -> fc1 -> relu ->
+    fc2 -> (hard)sigmoid -> scale.
+    """
+    channels: int
+    reduction: int = 16
+    use_hs: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        axes = tuple(range(1, x.ndim - 1))
+        y = jnp.mean(x, axis=axes)
+        y = nn.Dense(self.channels // self.reduction, dtype=self.dtype,
+                     param_dtype=jnp.float32, name='fc1')(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, dtype=self.dtype,
+                     param_dtype=jnp.float32, name='fc2')(y)
+        y = hard_sigmoid(y) if self.use_hs else nn.sigmoid(y)
+        y = y.reshape(y.shape[:1] + (1,) * (x.ndim - 2) + y.shape[-1:])
+        return x * y

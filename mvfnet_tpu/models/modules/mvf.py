@@ -1,0 +1,125 @@
+"""MVF module — Flax wrapper around the fused multi-view op.
+
+Reference: ``/root/reference/codes/models/modules/MVF.py``. Instead of
+runtime module surgery (wrapping a bottleneck's conv1 object), the TPU build
+declares MVF as an explicit pre-stage of the bottleneck: the backbone config
+says which stages carry it, and the block calls this module on its input
+before its first 1x1 conv. Semantics preserved exactly:
+
+- channel split ``[alpha*C | (1-alpha)*C]`` (``MVF.py:59-63``)
+- three depthwise 3-tap convs over T / H / W summed (``MVF.py:112-120``);
+  ``share=True`` applies the T weights to all active views (``MVF.py:114-116``)
+- BN + HardSwish applied *only when* ``use_hs`` (reference quirk,
+  ``MVF.py:131-134``)
+- untouched channels concatenated back, then the caller's conv1 runs
+  (``MVF.py:135-138``)
+- new conv weights ~ Normal(0, sqrt(2 / (3*C))), BN gamma=1 beta=0
+  (``MVF.py:91-102``)
+
+BatchNorm is implemented inline (torch semantics: biased batch variance for
+normalization, unbiased for the running update) so that at inference the
+running stats fold into a single affine and feed the fused Pallas kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ...ops.mvf import hard_swish, mvf_conv_sum
+from ..common import BN_EPS, BN_MOMENTUM
+
+
+class MVF(nn.Module):
+    """Multi-View Fusion over a folded-time batch.
+
+    Input/output: ``(N*T, H, W, C)`` channels-last; T = ``n_segment``.
+    """
+    n_segment: int
+    in_channels: int
+    alpha: float = 0.5
+    use_hs: bool = True
+    share: bool = False
+    mode: str = 'THW'
+    impl: str = 'auto'  # 'jnp' | 'pallas' | 'auto'
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cs = int(self.in_channels * self.alpha)
+        if cs == 0:
+            return x
+        nt, h, w, c = x.shape
+        assert c == self.in_channels, (c, self.in_channels)
+        n = nt // self.n_segment
+        x5 = x.reshape(n, self.n_segment, h, w, c)
+        xs = x5[..., :cs]
+        xu = x5[..., cs:]
+
+        def tap_init(key, shape, dtype=jnp.float32):
+            # fan = prod(kernel) * out_channels = 3 * cs  (MVF.py:95-97)
+            std = (2.0 / (3 * cs)) ** 0.5
+            return std * jnp.asarray(
+                nn.initializers.normal(1.0)(key, shape, dtype))
+
+        w_t = self.param('shift_conv', tap_init, (3, cs))
+        w_h = w_w = None
+        if self.mode in ('TH', 'THW'):
+            w_h = w_t if self.share else self.param('h_conv', tap_init, (3, cs))
+        if self.mode == 'THW':
+            w_w = w_t if self.share else self.param('w_conv', tap_init, (3, cs))
+
+        if not self.use_hs:
+            # Reference applies neither BN nor activation when use_hs=False
+            # (MVF.py:131-134).
+            y = mvf_conv_sum(xs, w_t, w_h, w_w, self.mode)
+        else:
+            gamma = self.param('bn_scale', nn.initializers.ones, (cs,))
+            beta = self.param('bn_bias', nn.initializers.zeros, (cs,))
+            ra_mean = self.variable('batch_stats', 'bn_mean',
+                                    lambda: jnp.zeros((cs,), jnp.float32))
+            ra_var = self.variable('batch_stats', 'bn_var',
+                                   lambda: jnp.ones((cs,), jnp.float32))
+            if train:
+                y = mvf_conv_sum(xs, w_t, w_h, w_w, self.mode)
+                yf = y.astype(jnp.float32)
+                axes = (0, 1, 2, 3)
+                mean = jnp.mean(yf, axis=axes)
+                var = jnp.mean(jnp.square(yf), axis=axes) - jnp.square(mean)
+                count = yf.size // cs
+                unbiased = var * (count / max(count - 1, 1))
+                if not self.is_initializing():
+                    ra_mean.value = (BN_MOMENTUM * ra_mean.value
+                                     + (1 - BN_MOMENTUM) * mean)
+                    ra_var.value = (BN_MOMENTUM * ra_var.value
+                                    + (1 - BN_MOMENTUM) * unbiased)
+                inv = gamma / jnp.sqrt(var + BN_EPS)
+                y = (yf - mean) * inv + beta
+                y = hard_swish(y).astype(x.dtype)
+            else:
+                # Fold running stats into one affine; fused single-pass path.
+                scale = gamma / jnp.sqrt(ra_var.value + BN_EPS)
+                bias = beta - ra_mean.value * scale
+                use_pallas = self.impl == 'pallas' or (
+                    self.impl == 'auto' and _on_tpu())
+                if use_pallas:
+                    from ...ops.mvf_pallas import mvf_fused_pallas
+                    y = mvf_fused_pallas(xs, w_t, w_h, w_w, scale, bias,
+                                         mode=self.mode, use_hs=True)
+                else:
+                    y = mvf_conv_sum(xs, w_t, w_h, w_w, self.mode)
+                    y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+                    y = hard_swish(y)
+
+        out = jnp.concatenate([y.astype(x.dtype), xu], axis=-1)
+        return out.reshape(nt, h, w, c)
+
+
+def _on_tpu() -> bool:
+    try:
+        import jax
+        return jax.default_backend() == 'tpu'
+    except Exception:  # pragma: no cover
+        return False
