@@ -1,0 +1,109 @@
+"""ctypes binding for the native JPEG decode worker (``native/``).
+
+Loads ``libmvf_native.so`` when built (``make -C native``); FrameSelector
+falls back to cv2 when absent, so the native path is a pure accelerator.
+Batch decode releases the GIL for the whole batch and fans out over a C++
+thread pool.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+_LIB_PATHS = [
+    os.path.join(os.path.dirname(__file__), '..', '..', 'native', 'build',
+                 'libmvf_native.so'),
+    os.environ.get('MVF_NATIVE_LIB', ''),
+]
+
+
+def _load_lib() -> Optional[ctypes.CDLL]:
+    for p in _LIB_PATHS:
+        if p and os.path.exists(p):
+            lib = ctypes.CDLL(os.path.abspath(p))
+            lib.mvf_jpeg_probe.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+            lib.mvf_jpeg_probe.restype = ctypes.c_int
+            lib.mvf_jpeg_decode.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int)]
+            lib.mvf_jpeg_decode.restype = ctypes.c_int
+            lib.mvf_jpeg_decode_batch.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+                ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+            lib.mvf_jpeg_decode_batch.restype = ctypes.c_int
+            return lib
+    return None
+
+
+_lib = _load_lib()
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+class NativeImageLoader:
+    """Per-image and batch JPEG decoding through the native worker."""
+
+    def __init__(self, num_threads: Optional[int] = None):
+        if _lib is None:
+            raise RuntimeError('native library not built '
+                               '(run: make -C native)')
+        self.lib = _lib
+        self.num_threads = num_threads or min(os.cpu_count() or 1, 8)
+
+    def probe(self, path: str):
+        h = ctypes.c_int()
+        w = ctypes.c_int()
+        c = ctypes.c_int()
+        rc = self.lib.mvf_jpeg_probe(path.encode(), ctypes.byref(h),
+                                     ctypes.byref(w), ctypes.byref(c))
+        if rc != 0:
+            return None
+        return int(h.value), int(w.value), int(c.value)
+
+    def load(self, path: str) -> Optional[np.ndarray]:
+        shape = self.probe(path)
+        if shape is None:
+            return None
+        h, w, c = shape
+        out = np.empty((h, w, 3), np.uint8)
+        oh = ctypes.c_int()
+        ow = ctypes.c_int()
+        rc = self.lib.mvf_jpeg_decode(
+            path.encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            out.nbytes, ctypes.byref(oh), ctypes.byref(ow))
+        if rc != 0:
+            return None
+        return out
+
+    def load_batch(self, paths: Sequence[str]) -> Optional[List[np.ndarray]]:
+        n = len(paths)
+        shapes = [self.probe(p) for p in paths]
+        if any(s is None for s in shapes):
+            return None
+        bufs = [np.empty((h, w, 3), np.uint8) for h, w, _ in shapes]
+        c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+        c_outs = (ctypes.POINTER(ctypes.c_ubyte) * n)(
+            *[b.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))
+              for b in bufs])
+        c_caps = (ctypes.c_long * n)(*[b.nbytes for b in bufs])
+        c_hs = (ctypes.c_int * n)()
+        c_ws = (ctypes.c_int * n)()
+        c_rc = (ctypes.c_int * n)()
+        rc = self.lib.mvf_jpeg_decode_batch(
+            c_paths, n, c_outs, c_caps, c_hs, c_ws, c_rc, self.num_threads)
+        if rc != 0:
+            return None
+        return bufs

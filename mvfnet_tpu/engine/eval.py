@@ -1,0 +1,67 @@
+"""Inference / dense-testing loops.
+
+Replaces the reference's single/multi-GPU test loops and their pickle-based
+result gathering (``/root/reference/codes/core/test.py:12-185``): each
+process infers its sampler shard through one jitted eval step; cross-host
+collection is a ``process_allgather`` of score arrays (no pickle->CUDA-tensor
+round trip). Results are re-interleaved rank-strided and truncated to
+dataset length, exactly like ``collect_results_gpu`` (:147-185).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data import DataLoader, ShardedSampler
+from ..parallel.mesh import make_mesh, replicate
+from .train_step import make_eval_step
+
+
+def evaluate_dataset(model, variables, dataset, mesh=None,
+                     videos_per_gpu: int = 1, workers_per_gpu: int = 2,
+                     extract_feat: bool = False,
+                     progress: bool = False) -> np.ndarray:
+    """Run inference over the whole dataset; returns (N, K) scores in
+    dataset order (or (N, C) features when ``extract_feat``)."""
+    mesh = mesh if mesh is not None else make_mesh()
+    rank = jax.process_index()
+    world = jax.process_count()
+    sampler = ShardedSampler(len(dataset), world, rank, shuffle=False,
+                             pad=True)
+    loader = DataLoader(dataset, videos_per_gpu, sampler,
+                        num_workers=workers_per_gpu, drop_last=False)
+
+    if extract_feat:
+        def fn(variables, imgs):
+            return model.apply(variables, imgs, None, return_loss=False,
+                               method=lambda m, a, *_: m.forward_extract_feat(a))
+        step = jax.jit(fn)
+    else:
+        step = make_eval_step(model, mesh=None)
+
+    variables = replicate(variables, mesh)
+    out: List[np.ndarray] = []
+    n_batches = len(loader)
+    for bi, batch in enumerate(loader):
+        imgs = jax.device_put(np.asarray(batch['img_group']))
+        scores = step(variables, imgs)
+        out.append(np.asarray(scores))
+        if progress and rank == 0 and (bi % 20 == 0 or bi == n_batches - 1):
+            print(f'\r[eval] {bi + 1}/{n_batches}', end='', flush=True)
+    if progress and rank == 0:
+        print()
+    local = np.concatenate(out, axis=0) if out else np.zeros((0,))
+
+    if world > 1:
+        from jax.experimental import multihost_utils
+        gathered = multihost_utils.process_allgather(local)
+        # (world, per_rank_n, K); global index i lived at rank i % world,
+        # slot i // world -> transpose to interleave (test.py:171-180)
+        per_rank = gathered.reshape(world, -1, gathered.shape[-1])
+        interleaved = per_rank.transpose(1, 0, 2).reshape(
+            -1, gathered.shape[-1])
+        return interleaved[:len(dataset)]
+    return local[:len(dataset)]

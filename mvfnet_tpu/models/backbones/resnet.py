@@ -110,9 +110,12 @@ class Bottleneck(nn.Module):
         else:  # caffe
             conv1_stride, conv2_stride = stride, 1
 
+        cost_cfg = (self.temporal_cfg
+                    if self.temporal_cfg
+                    and self.temporal_cfg.get('type') == 'CoST' else None)
         identity = x
         out = x
-        if self.temporal_cfg:
+        if self.temporal_cfg and not cost_cfg:
             out = _build_temporal(self.temporal_cfg, self.inplanes,
                                   self.dtype)(out, train=train)
         out = conv2d(self.planes, 1, stride=conv1_stride, name='conv1',
@@ -122,9 +125,14 @@ class Bottleneck(nn.Module):
         out = nn.relu(out)
         if avd and self.avd_first:
             out = avg_pool_torch(out, 3, self.stride, padding=1)
-        out = conv2d(self.planes, 3, stride=conv2_stride,
-                     padding=self.dilation, dilation=self.dilation,
-                     name='conv2', dtype=self.dtype)(out)
+        if cost_cfg:
+            # CoST replaces conv2 of this block (CoST.py:38-42,104)
+            out = _build_temporal(cost_cfg, self.planes,
+                                  self.dtype)(out, train=train)
+        else:
+            out = conv2d(self.planes, 3, stride=conv2_stride,
+                         padding=self.dilation, dilation=self.dilation,
+                         name='conv2', dtype=self.dtype)(out)
         out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
@@ -198,6 +206,10 @@ class ResNet(nn.Module):
     stem_width: int = 64
     temporal_cfg: Optional[Dict] = None
     temporal_freq: Sequence[int] = (0, 0, 0, 0)
+    # Non-local wrappers after selected blocks of stages 2/3 (reference
+    # make_non_local, local_attention.py:191-222); needs clip length to
+    # unfold the folded-time batch.
+    nonlocal_cfg: Optional[Dict] = None
     pretrained: Optional[str] = None   # resolved by the checkpoint loader
     with_cp: bool = False              # remat; applied per res-stage
     dtype: Dtype = jnp.float32
@@ -244,7 +256,13 @@ class ResNet(nn.Module):
             stage_temporal = (self.temporal_cfg
                               if self.temporal_cfg and self.temporal_freq[i]
                               else None)
+            is_cost = (stage_temporal is not None
+                       and stage_temporal.get('type') == 'CoST')
             for j in range(num_blocks):
+                # CoST skips the first block of a stage (CoST.py:40-41);
+                # MVF is inserted in every block (MVF.py:36-39).
+                block_temporal = (None if (is_cost and j == 0)
+                                  else stage_temporal)
                 stride = self.strides[i] if j == 0 else 1
                 with_ds = (j == 0 and
                            (self.strides[i] != 1
@@ -258,7 +276,7 @@ class ResNet(nn.Module):
                     style=self.style,
                     norm_cfg=self.norm_cfg,
                     avg_down=self.avg_down,
-                    temporal_cfg=stage_temporal,
+                    temporal_cfg=block_temporal,
                     dtype=self.dtype,
                     name=f'layer{i + 1}_{j}',
                 )
@@ -270,6 +288,19 @@ class ResNet(nn.Module):
                 x = block_cls(**kwargs)(x, train=train,
                                         norm_eval=self.norm_eval)
                 inplanes = planes * block_cls.expansion
+                if self.nonlocal_cfg and i in (1, 2):
+                    from ..modules.nonlocal_attention import (
+                        LocalAttention, nonlocal_block_indices)
+                    num_nl = 2 if i == 1 else 3
+                    if j in nonlocal_block_indices(num_blocks, num_nl):
+                        n_seg = self.nonlocal_cfg['n_segment']
+                        nt, hh, ww, cc = x.shape
+                        x5 = x.reshape(nt // n_seg, n_seg, hh, ww, cc)
+                        x5 = LocalAttention(
+                            dim=cc, hidden=cc // 2, dtype=self.dtype,
+                            name=f'nonlocal{i + 1}_{j}')(
+                            x5, train=train, norm_eval=self.norm_eval)
+                        x = x5.reshape(nt, hh, ww, cc)
             if i in self.out_indices:
                 outs.append(x)
         if len(outs) == 1:

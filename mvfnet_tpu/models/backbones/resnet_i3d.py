@@ -1,0 +1,327 @@
+"""Inflated 3-D ResNet (I3D), channels-last Flax.
+
+Reference: ``/root/reference/codes/models/backbones/resnet_i3d.py``.
+Activations are (N, T, H, W, C). Covered options: inflate styles
+('3x1x1' folds the temporal tap into conv1, '3x3x3' into conv2), per-stage
+spatial/temporal strides, per-block inflate_freq, conv1_kernel/stride,
+pool1/pool2 (temporal maxpool after stage 1), avg_down / avd / deep_stem,
+pytorch/caffe styles, per-block non-local insertion.
+
+2D->3D weight inflation (reference ``init_weights``: 2-D kernel / kT
+broadcast over the temporal taps) is performed by the checkpoint importer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..builder import BACKBONES
+from ..common import make_norm
+
+Dtype = Any
+
+
+def conv3d(features: int, kernel: Tuple[int, int, int],
+           stride: Tuple[int, int, int] = (1, 1, 1),
+           padding: Optional[Tuple[int, int, int]] = None,
+           dilation: Tuple[int, int, int] = (1, 1, 1),
+           use_bias: bool = False, name: Optional[str] = None,
+           dtype: Dtype = jnp.float32) -> nn.Conv:
+    """torch-semantics Conv3d on (N,T,H,W,C)."""
+    if padding is None:
+        padding = tuple((k - 1) // 2 for k in kernel)
+    pad = tuple((p, p) for p in padding)
+    return nn.Conv(features=features, kernel_size=kernel, strides=stride,
+                   padding=pad, kernel_dilation=dilation, use_bias=use_bias,
+                   dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+def max_pool3d(x, kernel, stride, padding):
+    pads = tuple((p, p) for p in padding)
+    return nn.max_pool(x, kernel, strides=stride, padding=pads)
+
+
+def avg_pool3d(x, kernel, stride, padding=(0, 0, 0),
+               count_include_pad=True, ceil_mode=False):
+    if ceil_mode:
+        t, h, w = x.shape[1], x.shape[2], x.shape[3]
+        extra = [(-(d - k) % s) if d > k else 0
+                 for d, k, s in zip((t, h, w), kernel, stride)]
+    else:
+        extra = [0, 0, 0]
+    pads = tuple((p, p + e) for p, e in zip(padding, extra))
+    summed = nn.pool(x, 0.0, jnp.add, kernel, stride, pads)
+    if count_include_pad and not ceil_mode:
+        denom = kernel[0] * kernel[1] * kernel[2]
+        return summed / denom
+    ones = jnp.ones((1,) + x.shape[1:4] + (1,), x.dtype)
+    counts = nn.pool(ones, 0.0, jnp.add, kernel, stride, pads)
+    return summed / counts
+
+
+class Bottleneck3D(nn.Module):
+    """Reference ``resnet_i3d.py:130-325``."""
+    inplanes: int
+    planes: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+    dilation: int = 1
+    with_downsample: bool = False
+    style: str = 'pytorch'
+    if_inflate: bool = True
+    inflate_style: str = '3x1x1'
+    norm_cfg: Optional[Dict] = None
+    nonlocal_cfg: Optional[Dict] = None
+    avg_down: bool = False
+    avd: bool = False
+    avd_first: bool = False
+    dtype: Dtype = jnp.float32
+
+    expansion = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, norm_eval: bool = False):
+        use_ra = (not train) or norm_eval
+        avd = self.avd and self.spatial_stride > 1
+        ss = 1 if avd else self.spatial_stride
+        ts = self.temporal_stride
+        if self.style == 'pytorch':
+            c1_s, c2_s, c1_t, c2_t = 1, ss, 1, ts
+        else:
+            c1_s, c2_s, c1_t, c2_t = ss, 1, ts, 1
+
+        if self.if_inflate:
+            if self.inflate_style == '3x1x1':
+                k1, p1 = (3, 1, 1), (1, 0, 0)
+                k2, p2 = (1, 3, 3), (0, self.dilation, self.dilation)
+            else:  # '3x3x3'
+                k1, p1 = (1, 1, 1), (0, 0, 0)
+                k2, p2 = (3, 3, 3), (1, self.dilation, self.dilation)
+        else:
+            k1, p1 = (1, 1, 1), (0, 0, 0)
+            k2, p2 = (1, 3, 3), (0, self.dilation, self.dilation)
+            c1_t, c2_t = 1, 1
+
+        identity = x
+        out = conv3d(self.planes, k1, (c1_t, c1_s, c1_s), p1,
+                     name='conv1', dtype=self.dtype)(x)
+        out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        out = nn.relu(out)
+        if avd and self.avd_first:
+            out = avg_pool3d(out, (1, 3, 3),
+                             (1, self.spatial_stride, self.spatial_stride),
+                             (0, 1, 1))
+        out = conv3d(self.planes, k2, (c2_t, c2_s, c2_s), p2,
+                     dilation=(1, self.dilation, self.dilation),
+                     name='conv2', dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        out = nn.relu(out)
+        if avd and not self.avd_first:
+            out = avg_pool3d(out, (1, 3, 3),
+                             (1, self.spatial_stride, self.spatial_stride),
+                             (0, 1, 1))
+        out = conv3d(self.planes * self.expansion, (1, 1, 1),
+                     name='conv3', dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn3', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+
+        if self.with_downsample:
+            identity = self._downsample(x, use_ra)
+        out = nn.relu(out + identity)
+
+        if self.nonlocal_cfg is not None:
+            from ..modules.nonlocal_attention import build_nonlocal_block
+            out = build_nonlocal_block(
+                dict(self.nonlocal_cfg,
+                     in_channels=self.planes * self.expansion),
+                dtype=self.dtype)(out, train=train, norm_eval=norm_eval)
+        return out
+
+    def _downsample(self, x, use_ra):
+        ss, ts = self.spatial_stride, self.temporal_stride
+        if self.avg_down:
+            if self.dilation == 1:
+                x = avg_pool3d(x, (1, ss, ss), (1, ss, ss),
+                               count_include_pad=False, ceil_mode=True)
+            out = conv3d(self.planes * self.expansion, (1, 1, 1),
+                         (ts, 1, 1), name='downsample_conv',
+                         dtype=self.dtype)(x)
+        else:
+            out = conv3d(self.planes * self.expansion, (1, 1, 1),
+                         (ts, ss, ss), name='downsample_conv',
+                         dtype=self.dtype)(x)
+        return make_norm(self.norm_cfg, name='downsample_bn',
+                         dtype=self.dtype)(out, use_running_average=use_ra)
+
+
+class BasicBlock3D(nn.Module):
+    """Reference ``resnet_i3d.py:47-127``."""
+    inplanes: int
+    planes: int
+    spatial_stride: int = 1
+    temporal_stride: int = 1
+    dilation: int = 1
+    with_downsample: bool = False
+    style: str = 'pytorch'
+    if_inflate: bool = True
+    inflate_style: str = '3x1x1'  # unused for basic blocks
+    norm_cfg: Optional[Dict] = None
+    nonlocal_cfg: Optional[Dict] = None
+    avg_down: bool = False
+    avd: bool = False
+    avd_first: bool = False
+    dtype: Dtype = jnp.float32
+
+    expansion = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, norm_eval: bool = False):
+        use_ra = (not train) or norm_eval
+        ss, ts = self.spatial_stride, self.temporal_stride
+        k = (3, 3, 3) if self.if_inflate else (1, 3, 3)
+        p = (1, self.dilation, self.dilation) if self.if_inflate \
+            else (0, self.dilation, self.dilation)
+        identity = x
+        out = conv3d(self.planes, k, (ts, ss, ss), p, name='conv1',
+                     dtype=self.dtype)(x)
+        out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        out = nn.relu(out)
+        out = conv3d(self.planes, k, (1, 1, 1), p, name='conv2',
+                     dtype=self.dtype)(out)
+        out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
+            out, use_running_average=use_ra)
+        if self.with_downsample:
+            out_ch = self.planes * self.expansion
+            identity = conv3d(out_ch, (1, 1, 1), (ts, ss, ss),
+                              name='downsample_conv', dtype=self.dtype)(x)
+            identity = make_norm(self.norm_cfg, name='downsample_bn',
+                                 dtype=self.dtype)(
+                identity, use_running_average=use_ra)
+        return nn.relu(out + identity)
+
+
+@BACKBONES.register_module
+class ResNet_I3D(nn.Module):
+    depth: int
+    in_channels: int = 3
+    num_stages: int = 4
+    spatial_strides: Sequence[int] = (1, 2, 2, 2)
+    temporal_strides: Sequence[int] = (1, 1, 1, 1)
+    dilations: Sequence[int] = (1, 1, 1, 1)
+    out_indices: Sequence[int] = (0, 1, 2, 3)
+    conv1_kernel: Tuple[int, int, int] = (5, 7, 7)
+    conv1_stride_t: int = 2
+    pool1_kernel_t: int = 1
+    pool1_stride_t: int = 2
+    pool1_stride_s: int = 2
+    style: str = 'pytorch'
+    frozen_stages: int = -1
+    inflate_freq: Union[int, Sequence] = (1, 1, 1, 1)
+    inflate_style: str = '3x1x1'
+    norm_cfg: Optional[Dict] = None
+    nonlocal_stages: Sequence[int] = (-1,)
+    nonlocal_freq: Union[int, Sequence] = (0, 1, 1, 0)
+    nonlocal_cfg: Optional[Dict] = None
+    no_pool2: bool = False
+    norm_eval: bool = True
+    norm_frozen: bool = False
+    partial_norm: bool = False
+    avg_down: bool = False
+    avd: bool = False
+    avd_first: bool = False
+    deep_stem: bool = False
+    stem_width: int = 64
+    pretrained: Optional[str] = None
+    pretrained2d: bool = True
+    with_cp: bool = False
+    zero_init_residual: bool = True
+    dtype: Dtype = jnp.float32
+
+    arch_settings = {
+        18: (BasicBlock3D, (2, 2, 2, 2)),
+        34: (BasicBlock3D, (3, 4, 6, 3)),
+        50: (Bottleneck3D, (3, 4, 6, 3)),
+        101: (Bottleneck3D, (3, 4, 23, 3)),
+        152: (Bottleneck3D, (3, 8, 36, 3)),
+    }
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        """x: (N, T, H, W, C)."""
+        block_cls, stage_blocks = self.arch_settings[self.depth]
+        stage_blocks = stage_blocks[:self.num_stages]
+        use_ra = (not train) or self.norm_eval
+
+        if self.deep_stem:
+            sw = self.stem_width
+            for i, (ch, st) in enumerate([(sw, 2), (sw, 1), (sw * 2, 1)]):
+                x = conv3d(ch, (1, 3, 3), (1, st, st), (0, 1, 1),
+                           name=f'stem_conv{i + 1}', dtype=self.dtype)(x)
+                if i < 2:
+                    x = make_norm(self.norm_cfg, name=f'stem_bn{i + 1}',
+                                  dtype=self.dtype)(
+                        x, use_running_average=use_ra)
+                    x = nn.relu(x)
+            inplanes = sw * 2
+        else:
+            pad = tuple((k - 1) // 2 for k in self.conv1_kernel)
+            x = conv3d(64, tuple(self.conv1_kernel),
+                       (self.conv1_stride_t, 2, 2), pad, name='conv1',
+                       dtype=self.dtype)(x)
+            inplanes = 64
+        x = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
+            x, use_running_average=use_ra)
+        x = nn.relu(x)
+        x = max_pool3d(x, (self.pool1_kernel_t, 3, 3),
+                       (self.pool1_stride_t, self.pool1_stride_s,
+                        self.pool1_stride_s),
+                       (self.pool1_kernel_t // 2, 1, 1))
+
+        inflate_freqs = (self.inflate_freq if not isinstance(
+            self.inflate_freq, int) else (self.inflate_freq,) * 4)
+        nonlocal_freqs = (self.nonlocal_freq if not isinstance(
+            self.nonlocal_freq, int) else (self.nonlocal_freq,) * 4)
+
+        outs = []
+        for i, num_blocks in enumerate(stage_blocks):
+            planes = 64 * 2 ** i
+            stage_inflate = inflate_freqs[i]
+            if isinstance(stage_inflate, int):
+                stage_inflate = (stage_inflate,) * num_blocks
+            stage_nl = nonlocal_freqs[i]
+            if isinstance(stage_nl, int):
+                stage_nl = (stage_nl,) * num_blocks
+            nl_cfg = (self.nonlocal_cfg if i in self.nonlocal_stages
+                      else None)
+            for j in range(num_blocks):
+                ss = self.spatial_strides[i] if j == 0 else 1
+                ts = self.temporal_strides[i] if j == 0 else 1
+                with_ds = (j == 0 and
+                           (ss != 1
+                            or inplanes != planes * block_cls.expansion))
+                x = block_cls(
+                    inplanes=inplanes, planes=planes, spatial_stride=ss,
+                    temporal_stride=ts, dilation=self.dilations[i],
+                    with_downsample=with_ds, style=self.style,
+                    if_inflate=stage_inflate[j] == 1,
+                    inflate_style=self.inflate_style,
+                    norm_cfg=self.norm_cfg,
+                    nonlocal_cfg=nl_cfg if stage_nl[j] == 1 else None,
+                    avg_down=self.avg_down, avd=self.avd,
+                    avd_first=self.avd_first, dtype=self.dtype,
+                    name=f'layer{i + 1}_{j}',
+                )(x, train=train, norm_eval=self.norm_eval)
+                inplanes = planes * block_cls.expansion
+            if i in self.out_indices:
+                outs.append(x)
+            if not self.no_pool2 and i == 0:
+                x = max_pool3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
+        if len(outs) == 1:
+            return outs[0]
+        return tuple(outs)

@@ -32,15 +32,30 @@ from ..builder import (RECOGNIZERS, build_backbone, build_head)
 
 
 def _prepare_backbone_cfg(backbone: Dict, module_cfg: Optional[Dict],
-                          modality: str) -> Dict:
-    """Translate the reference's (backbone, module_cfg, modality) triple into
-    a single declarative backbone config."""
+                          modality: str,
+                          nonlocal_cfg: Optional[Dict] = None) -> Dict:
+    """Translate the reference's (backbone, module_cfg, modality,
+    nonlocal_cfg) surgery inputs into a single declarative backbone config."""
     backbone = dict(backbone)
+    if nonlocal_cfg:
+        backbone['nonlocal_cfg'] = dict(nonlocal_cfg)
     if module_cfg:
         module_cfg = dict(module_cfg)
         mtype = module_cfg.pop('type')
-        if mtype in ('MVF', 'CoST'):
-            freq = module_cfg.pop('mvf_freq', (1, 1, 1, 1))
+        if backbone.get('type') == 'MobileNetV2':
+            # MVF/TSM inserted in identity InvertedResiduals
+            # (recognizer2d.py:71-100); no per-stage freq mask.
+            module_cfg.pop('mvf_freq', None)
+            module_cfg.pop('shift_place', None)
+            module_cfg.pop('temporal_pool', None)
+            module_cfg.pop('two_path', None)
+            backbone['temporal_cfg'] = dict(type=mtype, **module_cfg)
+        elif mtype in ('MVF', 'CoST'):
+            # MVF calls it mvf_freq (MVF.py:19), CoST shift_freq (CoST.py:20)
+            freq = module_cfg.pop('mvf_freq',
+                                  module_cfg.pop('shift_freq', (1, 1, 1, 1)))
+            for k in ('place', 'temporal_pool', 'two_path'):
+                module_cfg.pop(k, None)  # CoST no-op knobs (CoST.py:19-20)
             backbone['temporal_cfg'] = dict(type=mtype, **module_cfg)
             backbone['temporal_freq'] = tuple(freq)
         else:
@@ -66,7 +81,7 @@ class Recognizer2D(nn.Module):
 
     def setup(self):
         bb_cfg = _prepare_backbone_cfg(self.backbone, self.module_cfg,
-                                       self.modality)
+                                       self.modality, self.nonlocal_cfg)
         bb_cfg.setdefault('dtype', self.dtype)
         head_cfg = dict(self.cls_head)
         head_cfg.setdefault('dtype', self.dtype)
@@ -116,7 +131,7 @@ class Recognizer2D(nn.Module):
                 cls_score = self.head_mod(x, n_seg)
         else:
             cls_score = self.head_mod(x, num_frames // temporal_pool)
-        return self.average_clip(cls_score)
+        return self.average_clip(cls_score, num_batch)
 
     def forward_extract_feat(self, imgs: jnp.ndarray) -> jnp.ndarray:
         """Feature-extraction path (reference ``feature_extractor.py``):
@@ -131,16 +146,22 @@ class Recognizer2D(nn.Module):
             return jnp.mean(x, axis=(1, 2, 3))
         return jnp.mean(x, axis=(1, 2))
 
-    def average_clip(self, cls_score: jnp.ndarray) -> jnp.ndarray:
+    def average_clip(self, cls_score: jnp.ndarray,
+                     num_batch: int = 1) -> jnp.ndarray:
+        """Per-video clip averaging (reference ``base.py:43-74``). The
+        reference only supports one video per step (``videos_per_gpu=1`` at
+        test); here the clip axis is regrouped per video so eval can batch —
+        identical math when num_batch == 1."""
         test_cfg = self.test_cfg or {'average_clips': None}
         if 'average_clips' not in test_cfg:
             raise KeyError('"average_clips" must be defined in test_cfg')
         mode = test_cfg['average_clips']
         if mode not in ['score', 'prob', None]:
             raise ValueError(f'{mode} is not supported')
+        if mode is None:
+            return cls_score
+        grouped = cls_score.reshape((num_batch, -1) + cls_score.shape[1:])
         if mode == 'prob':
-            return jnp.mean(jax.nn.softmax(cls_score.astype(jnp.float32),
-                                           axis=1), axis=0, keepdims=True)
-        if mode == 'score':
-            return jnp.mean(cls_score, axis=0, keepdims=True)
-        return cls_score
+            return jnp.mean(jax.nn.softmax(grouped.astype(jnp.float32),
+                                           axis=-1), axis=1)
+        return jnp.mean(grouped, axis=1)

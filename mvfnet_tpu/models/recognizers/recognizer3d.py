@@ -1,0 +1,81 @@
+"""Recognizer3D — true 3-D backbones over clip volumes.
+
+Reference: ``/root/reference/codes/models/recognizers/recognizer3d.py``.
+Input layout (channels-last): (B, clips, T, H, W, C); clips fold into the
+batch, the 3-D head pools (T, H, W), clip averaging per test_cfg.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..builder import RECOGNIZERS, build_backbone, build_head
+
+
+@RECOGNIZERS.register_module
+class Recognizer3D(nn.Module):
+    backbone: Dict
+    cls_head: Dict
+    fcn_testing: bool = False
+    train_cfg: Optional[Dict] = None
+    test_cfg: Optional[Dict] = None
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        bb = dict(self.backbone)
+        bb.setdefault('dtype', self.dtype)
+        head = dict(self.cls_head)
+        head.setdefault('dtype', self.dtype)
+        head.setdefault('fcn_testing', self.fcn_testing)
+        self.backbone_mod = build_backbone(bb)
+        self.head_mod = build_head(head)
+
+    def extract_feat(self, imgs: jnp.ndarray, train: bool):
+        return self.backbone_mod(imgs, train=train)
+
+    def __call__(self, imgs, labels=None, return_loss: bool = True,
+                 train: bool = False):
+        if return_loss:
+            return self.forward_train(imgs, labels, train=train)
+        return self.forward_test(imgs)
+
+    def forward_train(self, imgs, labels, train: bool = True):
+        # (B, clips, T, H, W, C) -> (B*clips, T, H, W, C)
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])
+        x = self.extract_feat(imgs, train=train)
+        cls_score = self.head_mod(x, train=train)
+        return self.head_mod.loss(cls_score, labels.reshape(-1))
+
+    def forward_test(self, imgs):
+        num_batch = imgs.shape[0]
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])
+        x = self.extract_feat(imgs, train=False)
+        cls_score = self.head_mod(x)
+        return self.average_clip(cls_score, num_batch)
+
+    def forward_extract_feat(self, imgs):
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])
+        x = self.extract_feat(imgs, train=False)
+        if isinstance(x, tuple):
+            return jnp.concatenate(
+                [jnp.mean(v, axis=(1, 2, 3)) for v in x], axis=-1)
+        return jnp.mean(x, axis=(1, 2, 3))
+
+    def average_clip(self, cls_score, num_batch: int = 1):
+        test_cfg = self.test_cfg or {'average_clips': None}
+        if 'average_clips' not in test_cfg:
+            raise KeyError('"average_clips" must be defined in test_cfg')
+        mode = test_cfg['average_clips']
+        if mode not in ['score', 'prob', None]:
+            raise ValueError(f'{mode} is not supported')
+        if mode is None:
+            return cls_score
+        grouped = cls_score.reshape((num_batch, -1) + cls_score.shape[1:])
+        if mode == 'prob':
+            return jnp.mean(jax.nn.softmax(grouped.astype(jnp.float32),
+                                           axis=-1), axis=1)
+        return jnp.mean(grouped, axis=1)

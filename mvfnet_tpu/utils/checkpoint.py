@@ -1,0 +1,282 @@
+"""Checkpoint I/O: native (orbax/msgpack) checkpoints + torch ``.pth`` import.
+
+Covers the reference checkpoint subsystem
+(``/root/reference/codes/utils/checkpoint.py``):
+- ``load_checkpoint`` with non-strict matching and a missing/unexpected-key
+  report (reference ``load_state_dict`` :49-111)
+- ``module.`` prefix stripping (:210-211)
+- torchvision-ImageNet and reference-MVFNet key vocabularies (the reference's
+  ``pretrained/resnet50.pth`` stem init and released K400 checkpoints)
+- Flow/RGBDiff stem-conv inflation (mean over RGB, broadcast to new
+  in-channels — reference ``recognizer2d.py:103-130``) applied at import time
+
+Native checkpoints are flat msgpack-serialized pytrees via
+``flax.serialization`` with a JSON meta sidecar (epoch, iter), written
+atomically; resume restores params, batch_stats and optimizer state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import tempfile
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .logging import get_root_logger
+
+
+# --------------------------------------------------------------- torch import
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint into {name: np.ndarray}. Accepts raw state
+    dicts or {'state_dict': ...} wrappers; strips ``module.`` prefixes."""
+    import torch
+    ckpt = torch.load(path, map_location='cpu', weights_only=False)
+    if isinstance(ckpt, dict) and 'state_dict' in ckpt:
+        sd = ckpt['state_dict']
+    else:
+        sd = ckpt
+    out = {}
+    for k, v in sd.items():
+        if k.startswith('module.'):
+            k = k[len('module.'):]
+        if hasattr(v, 'numpy'):
+            out[k] = v.detach().cpu().numpy()
+    return out
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch OIHW -> flax HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _mvf_taps(w: np.ndarray) -> np.ndarray:
+    """torch depthwise Conv3d (C,1,kT,kH,kW) with one k==3 -> (3, C)."""
+    w = w.reshape(w.shape[0], 3)  # (C, 3)
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
+         applied: List[str]) -> bool:
+    node = tree
+    for p in path[:-1]:
+        if p not in node:
+            return False
+        node = node[p]
+    leaf = path[-1]
+    if leaf not in node:
+        return False
+    if node[leaf].shape != value.shape:
+        raise ValueError(
+            f'shape mismatch at {"/".join(path)}: '
+            f'{node[leaf].shape} vs {value.shape}')
+    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+    applied.append('/'.join(path))
+    return True
+
+
+def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
+    """Map one torch parameter name to (collection, flax path) candidates.
+
+    Handles both vocabularies:
+    - torchvision ResNet: ``conv1.weight``, ``layer1.0.conv2.weight``,
+      ``layer1.0.downsample.{0,1}.*``, ``fc.*``
+    - reference MVFNet: same names under ``backbone.``, MVF-wrapped conv1 as
+      ``layerX.j.conv1.{net,shift_conv,h_conv,w_conv,bn}.*``, head as
+      ``cls_head.new_fc.*``
+    Returns None for keys we deliberately skip (num_batches_tracked, etc.).
+    """
+    if key.endswith('num_batches_tracked'):
+        return None
+    parts = key.split('.')
+    if parts[0] == 'backbone':
+        parts = parts[1:]
+        prefix: Tuple[str, ...] = ('backbone_mod',)
+    elif parts[0] == 'cls_head':
+        if parts[1] in ('new_fc', 'new_cls'):
+            leaf = 'kernel' if parts[-1] == 'weight' else 'bias'
+            return [('params', ('head_mod', 'fc', leaf))]
+        return None
+    elif parts[0] == 'fc':
+        # torchvision classifier; recognizer head is trained fresh — skip
+        return None
+    else:
+        prefix = ('backbone_mod',)
+
+    def bn_paths(base: Tuple[str, ...], leaf: str):
+        if leaf == 'weight':
+            return [('params', base + ('scale',))]
+        if leaf == 'bias':
+            return [('params', base + ('bias',))]
+        if leaf == 'running_mean':
+            return [('batch_stats', base + ('mean',))]
+        if leaf == 'running_var':
+            return [('batch_stats', base + ('var',))]
+        return None
+
+    # stem
+    if parts[0] == 'conv1' and parts[-1] == 'weight' and len(parts) == 2:
+        return [('params', prefix + ('conv1', 'kernel'))]
+    if parts[0] == 'bn1':
+        return bn_paths(prefix + ('bn1',), parts[1])
+
+    m = re.match(r'layer(\d+)', parts[0])
+    if not m:
+        return None
+    block = f'layer{m.group(1)}_{parts[1]}'
+    rest = parts[2:]
+    base = prefix + (block,)
+
+    if rest[0] in ('conv1', 'conv2', 'conv3') and rest[1] == 'weight' \
+            and len(rest) == 2:
+        return [('params', base + (rest[0], 'kernel'))]
+    if rest[0] in ('bn1', 'bn2', 'bn3'):
+        return bn_paths(base + (rest[0],), rest[1])
+    if rest[0] == 'downsample':
+        if rest[1] == '0':
+            return [('params', base + ('downsample_conv', 'kernel'))]
+        return bn_paths(base + ('downsample_bn',), rest[2])
+    if rest[0] == 'conv1' and rest[1] == 'net':
+        # MVF-wrapped original 1x1 conv (MVF.py:57,138)
+        return [('params', base + ('conv1', 'kernel'))]
+    if rest[0] == 'conv1' and rest[1] in ('shift_conv', 'h_conv', 'w_conv'):
+        return [('params', base + ('MVF_0', rest[1]))]
+    if rest[0] == 'conv1' and rest[1] == 'bn':
+        leaf = rest[2]
+        mvf = base + ('MVF_0',)
+        if leaf == 'weight':
+            return [('params', mvf + ('bn_scale',))]
+        if leaf == 'bias':
+            return [('params', mvf + ('bn_bias',))]
+        if leaf == 'running_mean':
+            return [('batch_stats', mvf + ('bn_mean',))]
+        if leaf == 'running_var':
+            return [('batch_stats', mvf + ('bn_var',))]
+    return None
+
+
+def import_torch_weights(state_dict: Dict[str, np.ndarray],
+                         variables: Dict[str, Any],
+                         inflate_in_channels: Optional[int] = None,
+                         logger=None) -> Dict[str, Any]:
+    """Non-strict import of a torch state dict into recognizer variables.
+
+    Returns a new variables dict; logs missing/unexpected keys like the
+    reference (``checkpoint.py:84-111``). ``inflate_in_channels`` triggers
+    Flow/RGBDiff stem inflation.
+    """
+    logger = logger or get_root_logger()
+    tree = {k: dict_to_plain(v) for k, v in variables.items()}
+
+    applied: List[str] = []
+    unexpected: List[str] = []
+    for key, value in state_dict.items():
+        candidates = _torch_key_to_flax(key)
+        if candidates is None:
+            if not key.endswith('num_batches_tracked') \
+                    and not key.startswith('fc.'):
+                unexpected.append(key)
+            continue
+        ok = False
+        for collection, path in candidates:
+            v = value
+            if path[-1] == 'kernel' and v.ndim == 4:
+                v = _conv_kernel(v)
+                if (inflate_in_channels is not None
+                        and path[-2] == 'conv1' and len(path) == 3
+                        and v.shape[2] == 3
+                        and v.shape[2] != inflate_in_channels):
+                    # mean over in-channels, broadcast (recognizer2d.py:115-119)
+                    v = np.broadcast_to(
+                        v.mean(axis=2, keepdims=True),
+                        v.shape[:2] + (inflate_in_channels,) + v.shape[3:])
+            elif path[-1] == 'kernel' and v.ndim == 2:
+                v = np.transpose(v)  # torch Linear (out,in) -> flax (in,out)
+            elif path[-1] in ('shift_conv', 'h_conv', 'w_conv'):
+                v = _mvf_taps(v)
+            if collection in tree and _set(tree[collection], path, v,
+                                           applied):
+                ok = True
+                break
+        if not ok:
+            unexpected.append(key)
+
+    # report params never touched (missing from the checkpoint)
+    missing = []
+    applied_set = set(applied)
+
+    def walk(node, path, coll):
+        for k, v in node.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                walk(v, p, coll)
+            elif '/'.join(p) not in applied_set:
+                missing.append(f'{coll}:' + '/'.join(p))
+
+    for coll in tree:
+        walk(tree[coll], (), coll)
+    if unexpected:
+        logger.info('unexpected keys in source state_dict: %s',
+                    ', '.join(unexpected[:20])
+                    + (' ...' if len(unexpected) > 20 else ''))
+    if missing:
+        logger.info('params not found in source state_dict: %s',
+                    ', '.join(missing[:20])
+                    + (' ...' if len(missing) > 20 else ''))
+    return tree
+
+
+def dict_to_plain(d) -> Dict:
+    """FrozenDict/dict -> plain nested dict of numpy arrays."""
+    if hasattr(d, 'items'):
+        return {k: dict_to_plain(v) for k, v in d.items()}
+    return np.asarray(d)
+
+
+# ------------------------------------------------------------- native ckpts
+
+def save_checkpoint(path: str, variables: Dict[str, Any],
+                    opt_state: Any = None,
+                    meta: Optional[Dict[str, Any]] = None) -> None:
+    """Atomic msgpack checkpoint: {meta, variables, opt_state}.
+
+    Reference semantics (``checkpoint.py:235-265``): meta carries epoch/iter;
+    weights stored device-agnostic (numpy). Only process 0 writes.
+    """
+    import jax
+    from flax import serialization
+    if jax.process_index() != 0:
+        return
+    payload = {
+        'variables': serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, variables)),
+        'opt_state': (serialization.to_state_dict(
+            jax.tree_util.tree_map(np.asarray, opt_state))
+            if opt_state is not None else {}),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    dirpath = os.path.dirname(os.path.abspath(path))
+    with tempfile.NamedTemporaryFile(dir=dirpath, delete=False) as f:
+        f.write(blob)
+        tmp = f.name
+    os.replace(tmp, path)
+    with open(path + '.meta.json', 'w') as f:
+        json.dump(meta or {}, f)
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
+    """Returns (variables, opt_state, meta)."""
+    from flax import serialization
+    with open(path, 'rb') as f:
+        payload = serialization.msgpack_restore(f.read())
+    meta = {}
+    meta_path = path + '.meta.json'
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    opt_state = payload.get('opt_state') or None
+    return payload['variables'], opt_state, meta

@@ -1,0 +1,133 @@
+"""Weight-import + full-network numerics parity vs the torch oracle.
+
+This is the accuracy-critical test: a randomly-initialized torch MVFNet-R50
+(reference checkpoint key vocabulary) is imported into the Flax model and
+both are run in eval mode on the same input — logits must agree to fp32
+tolerance. Validates: conv/BN weight layout conversion, stem/maxpool padding
+semantics, bottleneck wiring, downsample, MVF taps + BN fold, head FC, and
+segment consensus.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mvfnet_tpu.models import build_recognizer
+from mvfnet_tpu.utils.checkpoint import (import_torch_weights,
+                                         load_checkpoint,
+                                         save_checkpoint)
+
+from torch_oracle import TorchMVFNetR50, export_reference_style_state_dict
+
+NUM_CLASSES = 11
+T = 4
+
+
+def flax_cfg():
+    return dict(
+        type='Recognizer2D',
+        backbone=dict(type='ResNet', depth=50, out_indices=(3,),
+                      norm_eval=False,
+                      norm_cfg=dict(type='BN', requires_grad=True)),
+        cls_head=dict(type='TSNClsHead', spatial_size=-1, spatial_type='avg',
+                      dropout_ratio=0.5, in_channels=2048, init_std=0.01,
+                      num_classes=NUM_CLASSES),
+        module_cfg=dict(type='MVF', n_segment=T, alpha=0.125,
+                        mvf_freq=(0, 0, 1, 1), mode='THW'),
+        # dtype=None -> no f32 casts; computation follows input/param dtype
+        # (float64 in this parity fixture)
+        dtype=None,
+    )
+
+
+@pytest.fixture(scope='module')
+def parity_setup():
+    """float64 on both sides: any wiring/layout bug shows as a gross error,
+    while fp32 conv-accumulation noise (oneDNN vs XLA ordering) is gone."""
+    jax.config.update('jax_enable_x64', True)
+    torch.manual_seed(0)
+    oracle = TorchMVFNetR50(num_classes=NUM_CLASSES, n_segment=T)
+    # randomize BN running stats so eval-mode normalization is non-trivial
+    with torch.no_grad():
+        for m in oracle.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+    oracle = oracle.double().eval()
+
+    model = build_recognizer(flax_cfg(), test_cfg=dict(average_clips=None))
+    imgs0 = jnp.zeros((1, T, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs0,
+                           jnp.zeros((1,), jnp.int32), return_loss=True,
+                           train=False)
+    sd = {k: v.numpy() for k, v in
+          export_reference_style_state_dict(oracle).items()}
+    new_vars = import_torch_weights(sd, variables)
+    new_vars = jax.tree_util.tree_map(
+        lambda x: np.asarray(x, np.float64), new_vars)
+    yield oracle, model, new_vars
+    jax.config.update('jax_enable_x64', False)
+
+
+class TestImportParity:
+    def test_all_params_imported(self, parity_setup):
+        oracle, model, new_vars = parity_setup
+        # stem conv actually changed from random init
+        k = new_vars['params']['backbone_mod']['conv1']['kernel']
+        ref = oracle.conv1.weight.detach().numpy().transpose(2, 3, 1, 0)
+        np.testing.assert_allclose(k, ref)
+        # MVF taps: (C,1,3,1,1) -> (3,C)
+        taps = new_vars['params']['backbone_mod']['layer3_0']['MVF_0'][
+            'shift_conv']
+        ref_taps = oracle.layer3[0].conv1.shift_conv.weight.detach().numpy()
+        np.testing.assert_allclose(taps, ref_taps.reshape(-1, 3).T)
+        # head fc
+        fc = new_vars['params']['head_mod']['fc']['kernel']
+        np.testing.assert_allclose(fc, oracle.new_fc.weight.detach().numpy().T)
+
+    def test_full_network_logits_match(self, parity_setup):
+        oracle, model, new_vars = parity_setup
+        rng = np.random.RandomState(3)
+        x = rng.randn(2 * T, 64, 64, 3)
+
+        with torch.no_grad():
+            ref = oracle(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).numpy()  # (2, K)
+
+        imgs = jnp.asarray(x.reshape(2, T, 64, 64, 3))
+        # impl='jnp' path on CPU automatically (no TPU backend in tests)
+        ours = model.apply(new_vars, imgs, None, return_loss=False)
+        np.testing.assert_allclose(np.asarray(ours), ref, rtol=1e-6,
+                                   atol=1e-8)
+
+    def test_backbone_features_match(self, parity_setup):
+        oracle, model, new_vars = parity_setup
+        rng = np.random.RandomState(4)
+        x = rng.randn(T, 64, 64, 3)
+        with torch.no_grad():
+            ref = oracle.features(torch.from_numpy(
+                x.transpose(0, 3, 1, 2))).numpy()  # (T, 2048, 2, 2)
+        feat = model.apply(
+            new_vars, jnp.asarray(x), False,
+            method=lambda m, a, t: m.extract_feat(a, t))
+        feat = np.asarray(feat).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(feat, ref, rtol=1e-6, atol=1e-8)
+
+
+class TestNativeCheckpoint:
+    def test_save_load_roundtrip(self, parity_setup, tmp_path):
+        _, model, new_vars = parity_setup
+        path = str(tmp_path / 'ckpt.msgpack')
+        save_checkpoint(path, new_vars, opt_state=None,
+                        meta={'epoch': 3, 'iter': 120})
+        variables, opt_state, meta = load_checkpoint(path)
+        assert meta == {'epoch': 3, 'iter': 120}
+        got = variables['variables'] if 'variables' in variables else variables
+        k1 = np.asarray(
+            got['params']['backbone_mod']['conv1']['kernel'])
+        k0 = np.asarray(new_vars['params']['backbone_mod']['conv1']['kernel'])
+        np.testing.assert_allclose(k1, k0)
+        assert opt_state is None

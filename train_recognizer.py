@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Train CLI — same surface as the reference ``train_recognizer.py:14-112``.
+
+Differences: ``--launcher`` selects the JAX multi-host bootstrap instead of
+torch.distributed; ``--gpus`` is interpreted as the number of local devices
+to use (all by default); ``--autoscale-lr`` scales by total chips / 8 like
+the reference's linear rule.
+"""
+
+import argparse
+import os
+
+
+def parse_args():
+    parser = argparse.ArgumentParser(description='Train an action recognizer')
+    parser.add_argument('config', help='config file path')
+    parser.add_argument('--work_dir', help='dir to save logs and checkpoints')
+    parser.add_argument('--resume_from', help='checkpoint to resume from')
+    parser.add_argument('--validate', action='store_true',
+                        help='run top-k evaluation during training')
+    parser.add_argument('--gpus', type=int, default=None,
+                        help='number of local devices to use (default: all)')
+    parser.add_argument('--seed', type=int, default=None, help='random seed')
+    parser.add_argument('--launcher', default='none',
+                        choices=['none', 'env', 'slurm'],
+                        help='multi-host launcher')
+    parser.add_argument('--autoscale-lr', action='store_true',
+                        help='scale lr by total devices / 8')
+    parser.add_argument('--bf16', action='store_true', default=None,
+                        help='force bfloat16 compute (default: config)')
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+
+    from mvfnet_tpu import Config
+    from mvfnet_tpu.parallel import init_distributed, get_dist_info, make_mesh
+    from mvfnet_tpu.utils import get_root_logger
+
+    cfg = Config.fromfile(args.config)
+    if args.work_dir is not None:
+        cfg.work_dir = args.work_dir
+    if args.resume_from is not None:
+        cfg.resume_from = args.resume_from
+
+    if args.launcher != 'none':
+        init_distributed(args.launcher)
+
+    import jax
+    import jax.numpy as jnp
+    devices = jax.devices()
+    if args.gpus is not None and jax.process_count() == 1:
+        devices = devices[:args.gpus]
+    mesh = make_mesh(devices)
+
+    if args.autoscale_lr:
+        cfg.optimizer['lr'] = cfg.optimizer['lr'] * len(devices) / 8
+
+    os.makedirs(cfg.work_dir, exist_ok=True)
+    logger = get_root_logger(cfg.get('log_level', 'INFO'),
+                             log_file=os.path.join(cfg.work_dir, 'train.log'))
+    info = get_dist_info()
+    logger.info('distributed info: %s', info)
+    logger.info('config: %s', args.config)
+
+    dtype_name = cfg.get('compute_dtype', 'float32')
+    if args.bf16:
+        dtype_name = 'bfloat16'
+    compute_dtype = {'bfloat16': jnp.bfloat16,
+                     'float32': jnp.float32}[dtype_name]
+
+    from mvfnet_tpu.data import build_dataset
+    from mvfnet_tpu.engine import train_network
+    from mvfnet_tpu.models import build_recognizer
+
+    model_cfg = dict(cfg.model)
+    model_cfg['dtype'] = compute_dtype
+    model = build_recognizer(model_cfg, train_cfg=cfg.get('train_cfg'),
+                             test_cfg=cfg.get('test_cfg'))
+    dataset = build_dataset(dict(cfg.data['train']))
+    if args.seed is not None and hasattr(dataset, 'seed'):
+        dataset.seed = args.seed
+    logger.info('dataset: %d videos', len(dataset))
+
+    train_network(model, dataset, cfg, validate=args.validate, logger=logger,
+                  mesh=mesh, seed=args.seed or 0)
+
+
+if __name__ == '__main__':
+    main()
