@@ -6,11 +6,16 @@ Measures per-chip clips/sec for the reference's headline inference config
 ``/root/reference/configs/MVFNet/K400/mvf_kinetics400_2d_rgb_r50_dense.py:101-119``),
 bf16 compute, fcn testing, on one device.
 
-Baseline: the reference publishes no clips/sec. BASELINE.json's target is
-">=3x per-chip clips/sec of the V100 reference"; we estimate the V100
-reference at 170 clips/s (65.8 GFLOPs/clip at ~11 TFLOP/s effective fp32
-with cuDNN, eval batch = one video's 30 clip-views) and report
-``vs_baseline`` against that estimate.
+Timing methodology: this host reaches its TPU through an async relay whose
+per-fetch overhead (~1s) dwarfs single-forward latency and whose
+``block_until_ready`` is unreliable. We therefore run K model invocations
+inside one jitted ``lax.fori_loop`` (input perturbed per iteration so the
+loop body cannot be hoisted), fetch one scalar, and difference two K values
+to cancel the fixed overhead:  t_video = (T(K2) - T(K1)) / (K2 - K1).
+
+Baseline: the reference publishes no clips/sec. BASELINE.json targets >=3x
+the per-chip clips/sec of the V100 reference, estimated at 170 clips/s
+(65.8 GFLOPs/clip at ~11 TFLOP/s effective fp32 eval).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,6 +24,8 @@ import json
 import time
 
 V100_BASELINE_CLIPS_PER_SEC = 170.0
+K1, K2 = 1, 9
+REPS = 3
 
 
 def main():
@@ -54,21 +61,34 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x, None,
                            return_loss=False, train=False)
 
-    @jax.jit
-    def fwd(v, imgs):
-        return model.apply(v, imgs, None, return_loss=False)
+    def make_runner(k):
+        @jax.jit
+        def run(v, imgs):
+            def body(i, acc):
+                # per-iteration input perturbation prevents loop hoisting
+                s = model.apply(v, imgs + i.astype(imgs.dtype) * 1e-6,
+                                None, return_loss=False)
+                return acc + jnp.mean(s)
+            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+        return run
 
-    # warmup / compile
-    fwd(variables, x).block_until_ready()
-    fwd(variables, x).block_until_ready()
+    def best_time(run):
+        float(run(variables, x))  # compile + warm
+        best = float('inf')
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(run(variables, x))  # scalar fetch = true sync point
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    iters = 10 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(variables, x)
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    clips_per_sec = views / dt
+    if not on_tpu:
+        k1, k2 = 1, 2  # CPU smoke mode
+    else:
+        k1, k2 = K1, K2
+    t1 = best_time(make_runner(k1))
+    t2 = best_time(make_runner(k2))
+    per_video = max((t2 - t1) / (k2 - k1), 1e-9)
+    clips_per_sec = views / per_video
 
     print(json.dumps({
         'metric': 'r50_8x8_dense_test_clips_per_sec_per_chip',

@@ -79,3 +79,11 @@ class Recognizer3D(nn.Module):
             return jnp.mean(jax.nn.softmax(grouped.astype(jnp.float32),
                                            axis=-1), axis=1)
         return jnp.mean(grouped, axis=1)
+
+
+@RECOGNIZERS.register_module
+class RecognizerC2D(Recognizer3D):
+    """Clip-volume recognizer for 2-D-style backbones on (B, clips, T, H, W,
+    C) input (reference ``recognizerc2d.py:15-107``; its tsm_c2d surgery
+    path imports a module the reference never ships — dead path, omitted)."""
+    modality: str = 'RGB'
