@@ -503,17 +503,32 @@ class FormatShape:
       'NTHWC' -> (M', T, H, W, C)     [TPU-native 3-D]
       'NCHW'  -> (M, C, H, W)         [reference compat]
       'NCTHW' -> (M', C, T, H, W)     [reference compat]
-    Flow frames (x/y grayscale pairs) are interleaved into channel pairs
-    exactly like the reference's pair-stack + model reshape.
+    Flow frames (x/y grayscale pairs) become channel pairs. For the NHWC
+    layouts, the stacked-modality channel fold (5 flow pairs -> 10 channels
+    / 5 RGB diffs -> 15 channels) that the reference model performs as a
+    free NCHW reshape (``recognizer2d.py:137``) is applied here explicitly
+    — in channels-last it is a transpose, not a reshape.
     """
+
+    MODALITY_LENGTH = 5  # frames folded per segment (recognizer2d.py:31-36)
 
     def __init__(self, input_format='NHWC'):
         assert input_format in ['NHWC', 'NTHWC', 'NCHW', 'NCTHW']
         self.input_format = input_format
 
+    def _fold_channels(self, arr: np.ndarray) -> np.ndarray:
+        """(M, H, W, C) -> (M/L, H, W, L*C), frame-major channel order
+        matching the NCHW reshape."""
+        L = self.MODALITY_LENGTH
+        m, h, w, c = arr.shape
+        assert m % L == 0, (m, L)
+        arr = arr.reshape(m // L, L, h, w, c).transpose(0, 2, 3, 1, 4)
+        return arr.reshape(m // L, h, w, L * c)
+
     def __call__(self, results):
         img_group = results['img_group']
-        if results.get('modality') == 'Flow':
+        modality = results.get('modality')
+        if modality == 'Flow':
             assert img_group[0].ndim == 2
             img_group = [np.stack((fx, fy), axis=2) for fx, fy in
                          zip(img_group[0::2], img_group[1::2])]
@@ -521,7 +536,8 @@ class FormatShape:
         num_clips = results['num_clips']
         clip_len = results['clip_len']
         if self.input_format == 'NHWC':
-            pass
+            if modality in ('Flow', 'RGBDiff'):
+                arr = self._fold_channels(arr)
         elif self.input_format == 'NTHWC':
             if clip_len == 1 and num_clips > 1:
                 arr = arr.reshape((-1, num_clips) + arr.shape[1:])

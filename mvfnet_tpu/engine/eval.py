@@ -36,8 +36,8 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
 
     if extract_feat:
         def fn(variables, imgs):
-            return model.apply(variables, imgs, None, return_loss=False,
-                               method=lambda m, a, *_: m.forward_extract_feat(a))
+            return model.apply(variables, imgs,
+                               method=lambda m, a: m.forward_extract_feat(a))
         step = jax.jit(fn)
     else:
         step = make_eval_step(model, mesh=None)

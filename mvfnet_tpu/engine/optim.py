@@ -98,13 +98,26 @@ def _is_bias_param(path_s: str) -> bool:
 
 
 def masked_labels(params, frozen_prefixes: Sequence[str] = ()) -> Any:
-    """Label tree: 'frozen' | 'norm' | 'bias' | 'default' per leaf."""
+    """Label tree: 'frozen' | 'norm' | 'bias' | 'default' per leaf.
+
+    A prefix of the form ``__norm_frozen__:<subtree>`` freezes every norm
+    parameter under that subtree (reference ``norm_frozen``,
+    ``resnet.py:499-513``)."""
+    plain = [p for p in frozen_prefixes
+             if not p.startswith('__norm_frozen__:')]
+    norm_frozen_roots = [p.split(':', 1)[1] for p in frozen_prefixes
+                         if p.startswith('__norm_frozen__:')]
+
     def label(path, _):
         s = _path_str(path)
-        for pref in frozen_prefixes:
+        for pref in plain:
             if s.startswith(pref):
                 return 'frozen'
-        if _is_norm_param(s):
+        is_norm = _is_norm_param(s)
+        if is_norm and any(s.startswith(root)
+                           for root in norm_frozen_roots):
+            return 'frozen'
+        if is_norm:
             return 'norm'
         if _is_bias_param(s):
             return 'bias'

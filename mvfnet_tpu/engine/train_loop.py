@@ -61,6 +61,45 @@ class TextLoggerHook(Hook):
                 lr, dt, msg)
 
 
+class TensorboardLoggerHook(Hook):
+    """TensorBoard scalars (reference log_config TensorboardLoggerHook).
+    Uses tf.summary when TensorFlow is importable; silently disabled
+    otherwise."""
+
+    def __init__(self, interval: int = 20, log_dir: Optional[str] = None):
+        self.interval = interval
+        self.log_dir = log_dir
+        self._writer = None
+
+    def before_run(self, loop):
+        if jax.process_index() != 0:
+            return
+        try:
+            import tensorflow as tf
+        except ImportError:
+            loop.logger.warning('tensorflow unavailable; '
+                                'TensorboardLoggerHook disabled')
+            return
+        log_dir = self.log_dir or os.path.join(loop.work_dir, 'tf_logs')
+        self._writer = tf.summary.create_file_writer(log_dir)
+
+    def after_iter(self, loop, metrics):
+        if self._writer is None or loop.iter % self.interval != 0:
+            return
+        import tensorflow as tf
+        step = int(loop.state.step)
+        with self._writer.as_default():
+            for k, v in metrics.items():
+                tf.summary.scalar(f'train/{k}', float(np.asarray(v)),
+                                  step=step)
+            tf.summary.scalar('train/lr',
+                              float(loop.lr_schedule(step - 1)), step=step)
+
+    def after_run(self, loop):
+        if self._writer is not None:
+            self._writer.flush()
+
+
 class CheckpointHook(Hook):
     """Epoch-interval checkpointing + ``latest`` symlink-equivalent
     (reference ``checkpoint_config`` + auto-resume convention)."""
@@ -117,6 +156,24 @@ class EvalHook(Hook):
              **{f'top{kk}': a for kk, a in zip(self.k, accs)}})
 
 
+def _frozen_prefixes_from_backbone(backbone_cfg: Dict) -> tuple:
+    """Translate the reference's stage-freezing flags
+    (``resnet.py:496-527``: frozen_stages freezes stem+stages 1..k;
+    norm_frozen freezes all BN affine params) into optimizer-mask prefixes
+    on our param tree."""
+    prefixes = []
+    frozen_stages = backbone_cfg.get('frozen_stages', -1)
+    if frozen_stages is not None and frozen_stages >= 0:
+        prefixes += ['backbone_mod/conv1', 'backbone_mod/bn1',
+                     'backbone_mod/stem_']
+        for i in range(1, frozen_stages + 1):
+            prefixes.append(f'backbone_mod/layer{i}_')
+    if backbone_cfg.get('norm_frozen'):
+        # handled leaf-wise: every bn scale/bias under the backbone
+        prefixes.append('__norm_frozen__:backbone_mod')
+    return tuple(prefixes)
+
+
 class TrainLoop:
     def __init__(self, model, dataset, cfg, work_dir: Optional[str] = None,
                  validate: bool = False, logger=None, mesh=None,
@@ -142,6 +199,8 @@ class TrainLoop:
             self.total_epochs)
         grad_clip = (cfg.get('optimizer_config') or {}).get('grad_clip')
         frozen = tuple(cfg.get('frozen_param_prefixes', ()) or ())
+        frozen += _frozen_prefixes_from_backbone(
+            (cfg.get('model') or {}).get('backbone') or {})
 
         # init model
         sample_shape = cfg.get('init_input_shape')
@@ -194,7 +253,12 @@ class TrainLoop:
 
     def register_default_hooks(self) -> None:
         log_cfg = self.cfg.get('log_config') or {}
-        self.register_hook(TextLoggerHook(log_cfg.get('interval', 20)))
+        interval = log_cfg.get('interval', 20)
+        hook_types = [h.get('type') for h in log_cfg.get('hooks', [])]
+        if not hook_types or 'TextLoggerHook' in hook_types:
+            self.register_hook(TextLoggerHook(interval))
+        if 'TensorboardLoggerHook' in hook_types:
+            self.register_hook(TensorboardLoggerHook(interval))
         ckpt_cfg = self.cfg.get('checkpoint_config') or {}
         self.register_hook(CheckpointHook(ckpt_cfg.get('interval', 10)))
 

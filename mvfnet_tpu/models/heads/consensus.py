@@ -80,19 +80,19 @@ class RelationModuleMultiScale(nn.Module):
         scales = list(range(self.num_frames, 1, -1))
         out = None
         for si, scale in enumerate(scales):
+            # one shared MLP per scale, applied to every sampled subset
+            fc1 = nn.Dense(self.num_bottleneck, dtype=self.dtype,
+                           param_dtype=jnp.float32,
+                           name=f'scale{scale}_fc1')
+            fc2 = nn.Dense(self.num_classes, dtype=self.dtype,
+                           param_dtype=jnp.float32,
+                           name=f'scale{scale}_fc2')
             subsets = _relation_subsets(self.num_frames, scale)
             acc = None
             for subset in subsets:
                 feats = x[:, np.asarray(subset), :].reshape(
                     x.shape[0], scale * self.img_feature_dim)
-                h = nn.relu(feats)
-                h = nn.Dense(self.num_bottleneck, dtype=self.dtype,
-                             param_dtype=jnp.float32,
-                             name=f'scale{scale}_fc1')(h)
-                h = nn.relu(h)
-                h = nn.Dense(self.num_classes, dtype=self.dtype,
-                             param_dtype=jnp.float32,
-                             name=f'scale{scale}_fc2')(h)
+                h = fc2(nn.relu(fc1(nn.relu(feats))))
                 acc = h if acc is None else acc + h
                 if si == 0:
                     break  # full-scale relation has exactly one subset
