@@ -48,10 +48,13 @@ def main():
     variables = load_model_variables(model, args.checkpoint, init_shape,
                                      logger)
 
+    from mvfnet_tpu.engine.train_loop import _device_norm_cfg
     mesh = make_mesh()
     feats = evaluate_dataset(model, variables, dataset, mesh=mesh,
                              videos_per_gpu=args.videos_per_gpu,
-                             extract_feat=True, progress=True)
+                             extract_feat=True, progress=True,
+                             norm_cfg=_device_norm_cfg(
+                                 cfg.data['test'].get('pipeline')))
 
     import jax
     if jax.process_index() == 0:

@@ -18,6 +18,66 @@ from typing import Iterator, List, Optional
 import numpy as np
 
 
+class GroupSampler:
+    """Flag-grouped batching (reference ``sampler.py:14-51``): samples
+    sharing a group flag are shuffled and batched together so every batch is
+    flag-homogeneous (e.g. aspect-ratio groups). Unused by the shipped MVF
+    configs but part of the loader surface."""
+
+    def __init__(self, flags, samples_per_batch: int, seed: int = 0):
+        self.flags = np.asarray(flags)
+        self.samples_per_batch = samples_per_batch
+        self.seed = seed
+        self.epoch = 0
+        self.group_sizes = np.bincount(self.flags)
+        self.num_samples = int(sum(
+            int(np.ceil(s / samples_per_batch)) * samples_per_batch
+            for s in self.group_sizes))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def local_indices(self) -> List[int]:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch]))
+        batches = []
+        for flag, size in enumerate(self.group_sizes):
+            if size == 0:
+                continue
+            idx = np.where(self.flags == flag)[0]
+            idx = idx[rng.permutation(len(idx))]
+            pad_n = (-len(idx)) % self.samples_per_batch
+            if pad_n:
+                idx = np.concatenate([idx, idx[:pad_n]])
+            batches.extend(np.split(idx, len(idx) // self.samples_per_batch))
+        order = rng.permutation(len(batches))
+        return [int(i) for b in order for i in batches[b]]
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self.local_indices())
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+class DistributedGroupSampler(GroupSampler):
+    """GroupSampler + rank-strided sharding (reference ``sampler.py:81-163``)."""
+
+    def __init__(self, flags, samples_per_batch: int, world_size: int = 1,
+                 rank: int = 0, seed: int = 0):
+        super().__init__(flags, samples_per_batch, seed)
+        self.world_size = world_size
+        self.rank = rank
+        self.num_samples = int(
+            np.ceil(super().__len__() / world_size))
+
+    def local_indices(self) -> List[int]:
+        all_idx = super().local_indices()
+        pad_n = self.num_samples * self.world_size - len(all_idx)
+        all_idx = all_idx + all_idx[:pad_n]
+        return all_idx[self.rank::self.world_size]
+
+
 class ShardedSampler:
     def __init__(self, dataset_len: int, world_size: int = 1, rank: int = 0,
                  shuffle: bool = True, seed: int = 0,

@@ -448,13 +448,21 @@ class ColorJitter:
 @PIPELINES.register_module
 class Normalize:
     """(x - mean) / std with optional /255 and BGR->RGB
-    (augmentations.py:342-390)."""
+    (augmentations.py:342-390).
 
-    def __init__(self, mean, std, div_255=False, to_rgb=False):
+    ``device=True`` defers the arithmetic to the accelerator: frames stay
+    uint8 through collation and host->HBM transfer (4x less bandwidth and
+    host RAM), and the jitted step applies the same normalization on-chip
+    (see ``ops/normalize.py``). Host output is bit-identical either way.
+    """
+
+    def __init__(self, mean, std, div_255=False, to_rgb=False,
+                 device=False):
         self.mean = np.array(mean, dtype=np.float32)
         self.std = np.array(std, dtype=np.float32)
         self.div_255 = div_255
         self.to_rgb = to_rgb
+        self.device = device
 
     def _normalize(self, img):
         img = np.float32(img)
@@ -463,13 +471,16 @@ class Normalize:
         return (img - self.mean) / self.std
 
     def __call__(self, results):
+        cfg = dict(mean=self.mean, std=self.std, div_255=self.div_255,
+                   to_rgb=self.to_rgb, device=self.device)
+        results['img_norm_cfg'] = cfg
+        if self.device:
+            # annotate only; frames remain uint8 for the device to consume
+            return results
         img_group = results['img_group']
         if self.div_255:
             img_group = [np.float32(img) / 255 for img in img_group]
         results['img_group'] = [self._normalize(img) for img in img_group]
-        results['img_norm_cfg'] = dict(mean=self.mean, std=self.std,
-                                       div_255=self.div_255,
-                                       to_rgb=self.to_rgb)
         return results
 
 

@@ -23,7 +23,8 @@ from .train_step import make_eval_step
 def evaluate_dataset(model, variables, dataset, mesh=None,
                      videos_per_gpu: int = 1, workers_per_gpu: int = 2,
                      extract_feat: bool = False,
-                     progress: bool = False) -> np.ndarray:
+                     progress: bool = False,
+                     norm_cfg=None) -> np.ndarray:
     """Run inference over the whole dataset; returns (N, K) scores in
     dataset order (or (N, C) features when ``extract_feat``)."""
     mesh = mesh if mesh is not None else make_mesh()
@@ -35,12 +36,15 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
                         num_workers=workers_per_gpu, drop_last=False)
 
     if extract_feat:
+        from ..ops.normalize import maybe_device_normalize
+
         def fn(variables, imgs):
+            imgs = maybe_device_normalize(imgs, norm_cfg)
             return model.apply(variables, imgs,
                                method=lambda m, a: m.forward_extract_feat(a))
         step = jax.jit(fn)
     else:
-        step = make_eval_step(model, mesh=None)
+        step = make_eval_step(model, mesh=None, norm_cfg=norm_cfg)
 
     variables = replicate(variables, mesh)
     out: List[np.ndarray] = []

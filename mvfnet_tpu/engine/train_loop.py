@@ -144,7 +144,8 @@ class EvalHook(Hook):
         results = evaluate_dataset(
             loop.model, loop.state.variables(), dataset,
             mesh=loop.mesh, videos_per_gpu=self.videos_per_gpu,
-            workers_per_gpu=self.workers_per_gpu)
+            workers_per_gpu=self.workers_per_gpu,
+            norm_cfg=_device_norm_cfg(self.dataset_cfg.get('pipeline')))
         from ..utils.metrics import top_k_accuracy
         labels = [info['label'] for info in dataset.video_infos]
         accs = top_k_accuracy(results, labels, k=self.k)
@@ -154,6 +155,16 @@ class EvalHook(Hook):
         loop.eval_history.append(
             {'epoch': loop.epoch + 1,
              **{f'top{kk}': a for kk, a in zip(self.k, accs)}})
+
+
+def _device_norm_cfg(pipeline) -> Optional[Dict]:
+    """Extract a Normalize(device=True) node's constants from a pipeline
+    config, if present."""
+    for op in pipeline or []:
+        if isinstance(op, dict) and op.get('type') == 'Normalize' \
+                and op.get('device'):
+            return {k: v for k, v in op.items() if k != 'type'}
+    return None
 
 
 def _frozen_prefixes_from_backbone(backbone_cfg: Dict) -> tuple:
@@ -232,8 +243,14 @@ class TrainLoop:
         self.tx = build_optimizer(variables['params'], dict(cfg.optimizer),
                                   self.lr_schedule, grad_clip, frozen)
         self.state = TrainState.create(variables, self.tx)
+        norm_cfg = _device_norm_cfg(
+            (cfg.data.get('train') or {}).get('pipeline', []))
+        if norm_cfg:
+            self.logger.info('device-side normalization enabled '
+                             '(uint8 host->HBM transfer)')
         self.train_step = make_train_step(model, self.tx, mesh=self.mesh,
-                                          input_dtype=input_dtype)
+                                          input_dtype=input_dtype,
+                                          norm_cfg=norm_cfg)
         self.hooks: List[Hook] = []
         self.epoch = 0
         self.inner_iter = 0

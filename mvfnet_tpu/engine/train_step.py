@@ -50,8 +50,14 @@ def make_train_step(model,
                     mesh=None,
                     input_dtype: Optional[Any] = None,
                     remat: bool = False,
-                    donate: bool = True) -> Callable:
-    """Build train_step(state, imgs, labels, rng) -> (state, metrics)."""
+                    donate: bool = True,
+                    norm_cfg: Optional[Dict[str, Any]] = None) -> Callable:
+    """Build train_step(state, imgs, labels, rng) -> (state, metrics).
+
+    ``norm_cfg`` (from ``Normalize(device=True)``) moves input normalization
+    on-device: the loader ships uint8 frames and the cast/affine fuses into
+    the compiled step."""
+    from ..ops.normalize import maybe_device_normalize
 
     def loss_fn(params, batch_stats, imgs, labels, dropout_rng):
         apply = model.apply
@@ -69,8 +75,7 @@ def make_train_step(model,
 
     def train_step(state: TrainState, imgs, labels, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
-        if input_dtype is not None:
-            imgs = imgs.astype(input_dtype)
+        imgs = maybe_device_normalize(imgs, norm_cfg, input_dtype)
         (total, (new_bs, losses)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats, imgs,
                                    labels, dropout_rng)
@@ -94,10 +99,13 @@ def make_train_step(model,
         donate_argnums=(0,) if donate else ())
 
 
-def make_eval_step(model, mesh=None) -> Callable:
+def make_eval_step(model, mesh=None,
+                   norm_cfg: Optional[Dict[str, Any]] = None) -> Callable:
     """Build eval_step(variables, imgs) -> scores for dense testing."""
+    from ..ops.normalize import maybe_device_normalize
 
     def eval_step(variables, imgs):
+        imgs = maybe_device_normalize(imgs, norm_cfg)
         return model.apply(variables, imgs, None, return_loss=False)
 
     if mesh is None:

@@ -75,12 +75,15 @@ def main():
     variables = load_model_variables(model, args.checkpoint, init_shape,
                                      logger)
 
+    from mvfnet_tpu.engine.train_loop import _device_norm_cfg
     mesh = make_mesh()
     scores = evaluate_dataset(model, variables, dataset, mesh=mesh,
                               videos_per_gpu=args.videos_per_gpu,
                               workers_per_gpu=cfg.data.get('workers_per_gpu',
                                                            4),
-                              progress=True)
+                              progress=True,
+                              norm_cfg=_device_norm_cfg(
+                                  cfg.data['test'].get('pipeline')))
 
     import jax
     if jax.process_index() == 0:

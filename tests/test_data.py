@@ -253,3 +253,25 @@ class TestShardedSampler:
     def test_no_shuffle_is_identity_order(self):
         s = ShardedSampler(6, 2, 1, shuffle=False)
         assert s.local_indices() == [1, 3, 5]
+
+
+class TestGroupSampler:
+    def test_flag_homogeneous_batches(self):
+        from mvfnet_tpu.data.sampler import GroupSampler
+        flags = np.array([0, 1, 0, 1, 0, 1, 0])
+        s = GroupSampler(flags, samples_per_batch=2, seed=1)
+        idx = s.local_indices()
+        assert len(idx) == len(s)  # padded to batch multiples
+        for i in range(0, len(idx), 2):
+            batch_flags = flags[idx[i:i + 2]]
+            assert len(set(batch_flags)) == 1
+
+    def test_distributed_group_sampler_covers(self):
+        from mvfnet_tpu.data.sampler import DistributedGroupSampler
+        flags = np.array([0] * 6 + [1] * 6)
+        shards = [DistributedGroupSampler(flags, 2, world_size=2, rank=r,
+                                          seed=0) for r in range(2)]
+        all_idx = shards[0].local_indices() + shards[1].local_indices()
+        assert set(all_idx) == set(range(12))
+        assert len(shards[0].local_indices()) == len(
+            shards[1].local_indices())
