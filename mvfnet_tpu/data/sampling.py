@@ -103,8 +103,14 @@ class SampleFrames:
     def __call__(self, results: dict) -> dict:
         if 'total_frames' not in results:
             # VideoDataset path: probe the container for its frame count.
+            # Unreadable containers abort the sample (None) so the dataset
+            # retry loop can resample (video_dataset.py:57-76).
             from .video_io import probe_num_frames
-            results['total_frames'] = probe_num_frames(results['filename'])
+            try:
+                results['total_frames'] = probe_num_frames(
+                    results['filename'])
+            except (IOError, OSError):
+                return None
         total_frames = results['total_frames']
         rng = results.get('rng')
         results['frame_inds'] = self.get_frame_inds(

@@ -248,9 +248,11 @@ class TrainLoop:
         if norm_cfg:
             self.logger.info('device-side normalization enabled '
                              '(uint8 host->HBM transfer)')
+        remat = bool(((cfg.get('model') or {}).get('backbone')
+                      or {}).get('with_cp'))
         self.train_step = make_train_step(model, self.tx, mesh=self.mesh,
                                           input_dtype=input_dtype,
-                                          norm_cfg=norm_cfg)
+                                          norm_cfg=norm_cfg, remat=remat)
         self.hooks: List[Hook] = []
         self.epoch = 0
         self.inner_iter = 0

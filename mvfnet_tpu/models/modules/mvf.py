@@ -100,10 +100,15 @@ class MVF(nn.Module):
                 y = hard_swish(y).astype(x.dtype)
             else:
                 # Fold running stats into one affine; fused single-pass path.
+                # Measured on v5e (R50 8x8 dense test): the jnp composition
+                # is ~26% faster end-to-end than the Pallas kernel — XLA
+                # fuses the shifted multiply-adds into the surrounding convs
+                # with no materialization boundary, which pallas_call cannot
+                # avoid. 'auto' therefore picks jnp; the kernel stays
+                # available via impl='pallas'.
                 scale = gamma / jnp.sqrt(ra_var.value + BN_EPS)
                 bias = beta - ra_mean.value * scale
-                use_pallas = self.impl == 'pallas' or (
-                    self.impl == 'auto' and _on_tpu())
+                use_pallas = self.impl == 'pallas'
                 if use_pallas:
                     from ...ops.mvf_pallas import mvf_fused_pallas
                     y = mvf_fused_pallas(xs, w_t, w_h, w_w, scale, bias,
@@ -116,10 +121,3 @@ class MVF(nn.Module):
         out = jnp.concatenate([y.astype(x.dtype), xu], axis=-1)
         return out.reshape(nt, h, w, c)
 
-
-def _on_tpu() -> bool:
-    try:
-        import jax
-        return jax.default_backend() == 'tpu'
-    except Exception:  # pragma: no cover
-        return False
