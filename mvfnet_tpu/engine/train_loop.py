@@ -335,11 +335,13 @@ class TrainLoop:
 
 
 def train_network(model, dataset, cfg, validate: bool = False,
-                  logger=None, **kwargs) -> TrainLoop:
+                  logger=None, extra_hooks=None, **kwargs) -> TrainLoop:
     """Reference-compatible facade (``codes/core/train.py:63-76``)."""
     loop = TrainLoop(model, dataset, cfg, validate=validate, logger=logger,
                      **kwargs)
     loop.register_default_hooks()
+    for h in (extra_hooks or []):
+        loop.register_hook(h)
     if validate and cfg.get('data') and cfg.data.get('val'):
         loop.register_hook(EvalHook(dict(cfg.data.val),
                                     interval=cfg.get('eval_interval', 10)))

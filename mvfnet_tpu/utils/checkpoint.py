@@ -280,3 +280,43 @@ def load_checkpoint(path: str) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
             meta = json.load(f)
     opt_state = payload.get('opt_state') or None
     return payload['variables'], opt_state, meta
+
+
+# ----------------------------------------------------------- orbax backend
+
+def save_checkpoint_orbax(ckpt_dir: str, variables: Dict[str, Any],
+                          opt_state: Any = None,
+                          meta: Optional[Dict[str, Any]] = None,
+                          step: int = 0) -> None:
+    """Orbax save — the multi-host/sharded-array backend: every process
+    participates (each host writes its shards), unlike the msgpack backend's
+    process-0 gather."""
+    import jax
+    import orbax.checkpoint as ocp
+    from flax import serialization
+    path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
+    payload = {
+        'variables': serialization.to_state_dict(variables),
+        'opt_state': (serialization.to_state_dict(opt_state)
+                      if opt_state is not None else {}),
+    }
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+    if jax.process_index() == 0:
+        with open(os.path.join(ckpt_dir, f'step_{step}.meta.json'),
+                  'w') as f:
+            json.dump(meta or {}, f)
+
+
+def load_checkpoint_orbax(ckpt_dir: str, step: int
+                          ) -> Tuple[Dict[str, Any], Any, Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(os.path.join(ckpt_dir, f'step_{step}'))
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    meta = {}
+    meta_path = os.path.join(ckpt_dir, f'step_{step}.meta.json')
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return payload['variables'], payload.get('opt_state') or None, meta

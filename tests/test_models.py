@@ -134,3 +134,19 @@ class TestBasicBlockArch:
         variables = bb.init(jax.random.PRNGKey(0), x, train=False)
         y = bb.apply(variables, x, train=False)
         assert y.shape == (2, 1, 1, 512)
+
+
+class TestBatchedEval:
+    def test_batched_videos_equal_single(self, model_and_vars):
+        """average_clip groups clips per video: B=2 batched eval must equal
+        two B=1 evals (the reference hard-codes videos_per_gpu=1; batching
+        is a TPU-side throughput win that must not change results)."""
+        model, variables = model_and_vars
+        rng = jax.random.PRNGKey(7)
+        vids = jax.random.normal(rng, (2, 8, 32, 32, 3))
+        batched = model.apply(variables, vids, None, return_loss=False)
+        singles = jnp.concatenate([
+            model.apply(variables, vids[i:i + 1], None, return_loss=False)
+            for i in range(2)])
+        np.testing.assert_allclose(np.asarray(batched), np.asarray(singles),
+                                   rtol=1e-5, atol=1e-6)

@@ -131,3 +131,20 @@ class TestNativeCheckpoint:
         k0 = np.asarray(new_vars['params']['backbone_mod']['conv1']['kernel'])
         np.testing.assert_allclose(k1, k0)
         assert opt_state is None
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax.numpy as jnp
+        from mvfnet_tpu.utils.checkpoint import (load_checkpoint_orbax,
+                                                 save_checkpoint_orbax)
+        variables = {'params': {'w': np.arange(6, dtype=np.float32
+                                               ).reshape(2, 3)},
+                     'batch_stats': {'m': np.zeros(3, np.float32)}}
+        save_checkpoint_orbax(str(tmp_path), variables, opt_state=None,
+                              meta={'epoch': 2}, step=40)
+        got_vars, got_opt, meta = load_checkpoint_orbax(str(tmp_path), 40)
+        assert meta == {'epoch': 2}
+        np.testing.assert_allclose(np.asarray(got_vars['params']['w']),
+                                   variables['params']['w'])
+        assert got_opt is None

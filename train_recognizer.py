@@ -28,6 +28,9 @@ def parse_args():
                         help='scale lr by total devices / 8')
     parser.add_argument('--bf16', action='store_true', default=None,
                         help='force bfloat16 compute (default: config)')
+    parser.add_argument('--profile', type=int, default=0, metavar='N',
+                        help='capture a jax.profiler trace of the first N '
+                             'iterations into WORK_DIR/profile')
     return parser.parse_args()
 
 
@@ -83,8 +86,31 @@ def main():
         dataset.seed = args.seed
     logger.info('dataset: %d videos', len(dataset))
 
-    train_network(model, dataset, cfg, validate=args.validate, logger=logger,
-                  mesh=mesh, seed=args.seed or 0)
+    if args.profile:
+        from mvfnet_tpu.engine.train_loop import Hook
+
+        class ProfileHook(Hook):
+            def __init__(self, n, out_dir):
+                self.n, self.out_dir = n, out_dir
+                self._active = False
+
+            def after_iter(self, loop, metrics):
+                if loop.iter == 1 and not self._active:
+                    jax.profiler.start_trace(self.out_dir)
+                    self._active = True
+                elif loop.iter == 1 + self.n and self._active:
+                    jax.profiler.stop_trace()
+                    self._active = False
+                    logger.info('profiler trace written to %s', self.out_dir)
+
+        extra_hooks = [ProfileHook(args.profile,
+                                   os.path.join(cfg.work_dir, 'profile'))]
+    else:
+        extra_hooks = []
+
+    loop = train_network(model, dataset, cfg, validate=args.validate,
+                         logger=logger, mesh=mesh, seed=args.seed or 0,
+                         extra_hooks=extra_hooks)
 
 
 if __name__ == '__main__':
