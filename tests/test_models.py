@@ -150,3 +150,22 @@ class TestBatchedEval:
             for i in range(2)])
         np.testing.assert_allclose(np.asarray(batched), np.asarray(singles),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestFlopsParity:
+    def test_r50_8x8_flops_and_params_match_reference(self):
+        """Reference pins R50 8x8 at 32.909 GMACs / 24.34 M params
+        (mvf_kinetics400_2d_rgb_r50_dense.py:1-4). Params must match
+        exactly; XLA conv-MAC count lands within 5% (the reference's hook
+        profiler also counts BN/pool/activation MACs)."""
+        from mvfnet_tpu.utils.flops import get_flop_stats
+        model = build_recognizer(
+            dict(r50_mvf_cfg(clip_len=8),
+                 cls_head=dict(r50_mvf_cfg()['cls_head'], num_classes=400)),
+            test_cfg=dict(average_clips=None))
+        imgs = jnp.zeros((1, 8, 224, 224, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), imgs, None,
+                               return_loss=False, train=False)
+        stats = get_flop_stats(model, variables, (1, 8, 224, 224, 3))
+        assert stats['params'] == 24_342_416  # 24.34 M, matches reference
+        assert abs(stats['gmacs'] - 32.909) / 32.909 < 0.05, stats['gmacs']
