@@ -62,10 +62,15 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
     if world > 1:
         from jax.experimental import multihost_utils
         gathered = multihost_utils.process_allgather(local)
-        # (world, per_rank_n, K); global index i lived at rank i % world,
-        # slot i // world -> transpose to interleave (test.py:171-180)
-        per_rank = gathered.reshape(world, -1, gathered.shape[-1])
-        interleaved = per_rank.transpose(1, 0, 2).reshape(
-            -1, gathered.shape[-1])
-        return interleaved[:len(dataset)]
+        return reorder_rank_strided(gathered, world, len(dataset))
     return local[:len(dataset)]
+
+
+def reorder_rank_strided(gathered: np.ndarray, world: int,
+                         n: int) -> np.ndarray:
+    """Invert the rank-strided shard layout: global index i was evaluated by
+    rank ``i % world`` at slot ``i // world`` (reference
+    ``collect_results_gpu`` reorder + truncate, ``test.py:171-185``)."""
+    per_rank = gathered.reshape(world, -1, gathered.shape[-1])
+    interleaved = per_rank.transpose(1, 0, 2).reshape(-1, gathered.shape[-1])
+    return interleaved[:n]

@@ -213,12 +213,10 @@ class TrainLoop:
         frozen += _frozen_prefixes_from_backbone(
             (cfg.get('model') or {}).get('backbone') or {})
 
-        # init model
+        # init model (batch dim irrelevant to parameter shapes -> use 1)
         sample_shape = cfg.get('init_input_shape')
         if sample_shape is None:
-            # peek one batch for shapes
-            batch = next(iter(self.loader))
-            sample_shape = batch['img_group'].shape
+            sample_shape = (1,) + dataset[0]['img_group'].shape
         import jax.numpy as jnp
         imgs0 = jnp.zeros(sample_shape, jnp.float32)
         labels0 = jnp.zeros((sample_shape[0],), jnp.int32)

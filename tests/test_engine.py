@@ -253,3 +253,21 @@ class TestTrainLoopSmoke:
         loop.register_hook(Collect())
         loop.run()
         assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+
+class TestRankStridedReorder:
+    def test_inverts_sharded_sampler_layout(self):
+        """ShardedSampler(no-shuffle) gives rank r indices [r, r+w, ...];
+        gathering per-rank results and reordering must restore dataset
+        order, including truncation of wrap-padding."""
+        from mvfnet_tpu.data import ShardedSampler
+        from mvfnet_tpu.engine.eval import reorder_rank_strided
+        n, world, k = 10, 4, 3
+        data = np.arange(n * k, dtype=np.float32).reshape(n, k)
+        per_rank = []
+        for r in range(world):
+            idx = ShardedSampler(n, world, r, shuffle=False).local_indices()
+            per_rank.append(data[idx])
+        gathered = np.concatenate(per_rank)  # what process_allgather yields
+        out = reorder_rank_strided(gathered, world, n)
+        np.testing.assert_array_equal(out, data)
