@@ -108,6 +108,19 @@ class DataLoader:
                 yield self.collate_fn(batch)
 
 
+def _raise_nofile_limit(min_limit: int = 4096) -> None:
+    """Raise RLIMIT_NOFILE like the reference loader (``build_loader.py``):
+    frame datasets hold many JPEGs open across workers."""
+    try:
+        import resource
+        soft, hard = resource.getrlimit(resource.RLIMIT_NOFILE)
+        if soft < min_limit:
+            resource.setrlimit(resource.RLIMIT_NOFILE,
+                               (min(min_limit, hard), hard))
+    except (ImportError, ValueError, OSError):
+        pass
+
+
 def build_dataloader(dataset,
                      videos_per_gpu: int,
                      workers_per_gpu: int,
@@ -123,6 +136,7 @@ def build_dataloader(dataset,
     dist=True shards by JAX process; dist=False batches
     ``num_gpus * videos_per_gpu`` like the reference's non-dist path.
     """
+    _raise_nofile_limit()
     if dist:
         if world_size is None or rank is None:
             import jax

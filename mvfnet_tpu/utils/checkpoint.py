@@ -69,11 +69,19 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
     leaf = path[-1]
     if leaf not in node:
         return False
-    if node[leaf].shape != value.shape:
-        raise ValueError(
-            f'shape mismatch at {"/".join(path)}: '
-            f'{node[leaf].shape} vs {value.shape}')
-    node[leaf] = value.astype(np.asarray(node[leaf]).dtype)
+    target = np.asarray(node[leaf])
+    if target.shape != value.shape:
+        if (target.ndim == 5 and value.ndim == 4
+                and target.shape[1:] == value.shape):
+            # 2D -> I3D temporal inflation: w3d[t] = w2d / kT
+            # (reference resnet_i3d.init_weights, resnet_i3d.py:680-700)
+            kt = target.shape[0]
+            value = np.broadcast_to(value / kt, target.shape)
+        else:
+            raise ValueError(
+                f'shape mismatch at {"/".join(path)}: '
+                f'{target.shape} vs {value.shape}')
+    node[leaf] = value.astype(target.dtype)
     applied.append('/'.join(path))
     return True
 

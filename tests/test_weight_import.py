@@ -148,3 +148,37 @@ class TestOrbaxBackend:
         np.testing.assert_allclose(np.asarray(got_vars['params']['w']),
                                    variables['params']['w'])
         assert got_opt is None
+
+
+class TestI3DInflation:
+    def test_2d_checkpoint_inflates_into_i3d(self):
+        """2D ResNet weights inflate into the I3D backbone:
+        w3d[t] = w2d / kT, BN stats copied (resnet_i3d.py init_weights)."""
+        model = build_recognizer(dict(
+            type='Recognizer3D',
+            backbone=dict(type='ResNet_I3D', depth=50, out_indices=(3,),
+                          norm_eval=False, inflate_style='3x1x1',
+                          norm_cfg=dict(type='BN3d')),
+            cls_head=dict(type='I3DClsHead', spatial_size=-1,
+                          temporal_size=-1, dropout_ratio=0.5,
+                          in_channels=2048, num_classes=4)),
+            test_cfg=dict(average_clips=None))
+        imgs = jnp.zeros((1, 1, 4, 32, 32, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), imgs,
+                               jnp.zeros((1,), jnp.int32),
+                               return_loss=True, train=False)
+        rng = np.random.RandomState(0)
+        stem_2d = rng.randn(64, 3, 7, 7).astype(np.float32)
+        bn_gamma = rng.randn(64).astype(np.float32)
+        sd = {'conv1.weight': stem_2d, 'bn1.weight': bn_gamma}
+        new_vars = import_torch_weights(sd, variables)
+        got = np.asarray(
+            new_vars['params']['backbone_mod']['conv1']['kernel'])
+        kt = got.shape[0]  # conv1_kernel default (5,7,7)
+        assert got.shape == (5, 7, 7, 3, 64)
+        expect = stem_2d.transpose(2, 3, 1, 0) / kt
+        for t in range(kt):
+            np.testing.assert_allclose(got[t], expect, rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(new_vars['params']['backbone_mod']['bn1']['scale']),
+            bn_gamma)
