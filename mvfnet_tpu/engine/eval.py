@@ -35,16 +35,7 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
     loader = DataLoader(dataset, videos_per_gpu, sampler,
                         num_workers=workers_per_gpu, drop_last=False)
 
-    if extract_feat:
-        from ..ops.normalize import maybe_device_normalize
-
-        def fn(variables, imgs):
-            imgs = maybe_device_normalize(imgs, norm_cfg)
-            return model.apply(variables, imgs,
-                               method=lambda m, a: m.forward_extract_feat(a))
-        step = jax.jit(fn)
-    else:
-        step = make_eval_step(model, mesh=None, norm_cfg=norm_cfg)
+    step = _cached_eval_step(model, extract_feat, _freeze(norm_cfg))
 
     variables = replicate(variables, mesh)
     out: List[np.ndarray] = []
@@ -64,6 +55,39 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
         gathered = multihost_utils.process_allgather(local)
         return reorder_rank_strided(gathered, world, len(dataset))
     return local[:len(dataset)]
+
+
+def _freeze(obj):
+    if isinstance(obj, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in obj.items()))
+    if isinstance(obj, (list, tuple, np.ndarray)):
+        return tuple(_freeze(v) for v in obj)
+    return obj
+
+
+_EVAL_STEP_CACHE: Dict[Any, Any] = {}
+
+
+def _cached_eval_step(model, extract_feat: bool, norm_key):
+    """One jitted eval step per (model, mode, norm) — repeated
+    mid-train evals reuse the compiled executable instead of re-jitting."""
+    key = (id(model), extract_feat, norm_key)
+    if key in _EVAL_STEP_CACHE:
+        return _EVAL_STEP_CACHE[key]
+    norm_cfg = ({k: (np.asarray(v) if isinstance(v, tuple) else v)
+                 for k, v in norm_key} if norm_key else None)
+    if extract_feat:
+        from ..ops.normalize import maybe_device_normalize
+
+        def fn(variables, imgs):
+            imgs = maybe_device_normalize(imgs, norm_cfg)
+            return model.apply(variables, imgs,
+                               method=lambda m, a: m.forward_extract_feat(a))
+        step = jax.jit(fn)
+    else:
+        step = make_eval_step(model, mesh=None, norm_cfg=norm_cfg)
+    _EVAL_STEP_CACHE[key] = step
+    return step
 
 
 def reorder_rank_strided(gathered: np.ndarray, world: int,

@@ -275,3 +275,39 @@ class TestGroupSampler:
         assert set(all_idx) == set(range(12))
         assert len(shards[0].local_indices()) == len(
             shards[1].local_indices())
+
+
+class TestPklDataset:
+    def test_end_to_end(self, rawframes_root, tmp_path):
+        """Frames packed as pickled JPEG-bytes lists -> PklLoader decode
+        (reference pkl_dataset.py + loading.py:375-414)."""
+        import pickle
+        root, ann = rawframes_root
+        pkl_root = tmp_path / 'pkl'
+        lines = []
+        for line in ann.read_text().strip().split('\n'):
+            d, n, label = line.split()
+            blobs = []
+            for i in range(int(n)):
+                with open(root / d / f'img_{i + 1:05d}.jpg', 'rb') as f:
+                    blobs.append(f.read())
+            (pkl_root / d).parent.mkdir(parents=True, exist_ok=True)
+            with open(pkl_root / f'{d}.pkl', 'wb') as f:
+                pickle.dump(blobs, f)
+            lines.append(f'{d}.pkl {n} {label}')
+        pkl_ann = tmp_path / 'ann_pkl.txt'
+        pkl_ann.write_text('\n'.join(lines) + '\n')
+        ds = build_dataset(dict(
+            type='PklDataset', ann_file=str(pkl_ann),
+            data_root=str(pkl_root), test_mode=True, modality='RGB',
+            pipeline=[
+                dict(type='SampleFrames', clip_len=4, frame_interval=2,
+                     num_clips=1),
+                dict(type='PklLoader'),
+                dict(type='FormatShape', input_format='NHWC'),
+                dict(type='Collect', keys=['img_group', 'label'],
+                     meta_keys=[]),
+            ]))
+        s = ds[0]
+        assert s['img_group'].shape == (4, 64, 80, 3)
+        assert s['label'] == 0
