@@ -13,7 +13,7 @@ per-host feeding under a global mesh, or per-device in a local run.
 from __future__ import annotations
 
 import math
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 

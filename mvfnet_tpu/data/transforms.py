@@ -21,7 +21,7 @@ Key behavioral notes:
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import Tuple
 
 import cv2
 import numpy as np

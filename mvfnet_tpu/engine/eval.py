@@ -10,7 +10,7 @@ dataset length, exactly like ``collect_results_gpu`` (:147-185).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 import jax
 import numpy as np

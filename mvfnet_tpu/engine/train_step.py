@@ -15,8 +15,7 @@ standard JAX formulation — documented deviation.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional
 
 import flax.struct
 import jax

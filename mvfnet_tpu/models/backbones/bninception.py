@@ -18,13 +18,13 @@ BN-Inception). Caffe-conversion quirks preserved:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 
 from ..builder import BACKBONES
-from ..common import conv2d, make_norm
+from ..common import conv2d
 
 Dtype = Any
 

@@ -10,7 +10,6 @@ condition ``len(m.conv) == 8 and m.identity``
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import flax.linen as nn

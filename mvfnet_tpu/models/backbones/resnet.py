@@ -22,7 +22,7 @@ pytorch/caffe styles, per-stage strides/dilations, ``avg_down`` / ``avd`` /
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

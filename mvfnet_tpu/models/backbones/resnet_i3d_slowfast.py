@@ -15,7 +15,7 @@ single-pathway modes), consumed by I3DSlowFastClsHead.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Sequence, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ R(2+1)D decomposed stem (45-channel middle).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -7,12 +7,12 @@ Flax modules with fp32 params and a configurable compute dtype.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.mvf import hard_sigmoid, hard_swish  # re-export for model code
+from ..ops.mvf import hard_sigmoid, hard_swish  # noqa: F401 (re-export)
 
 Dtype = Any
 

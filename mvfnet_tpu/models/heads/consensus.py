@@ -10,7 +10,7 @@
 from __future__ import annotations
 
 import itertools
-from typing import Any, List, Sequence
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ in the reference too).
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Any, Dict, Type
+from typing import Dict, Type
 
 
 class BaseStorageBackend(ABC):
