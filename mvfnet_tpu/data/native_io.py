@@ -41,6 +41,18 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int), ctypes.c_int]
             lib.mvf_jpeg_decode_batch.restype = ctypes.c_int
+            if hasattr(lib, 'mvf_video_probe'):
+                lib.mvf_video_probe.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.mvf_video_probe.restype = ctypes.c_int
+                lib.mvf_video_decode.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_long),
+                    ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+                    ctypes.c_long, ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.mvf_video_decode.restype = ctypes.c_int
             return lib
     return None
 
@@ -107,3 +119,43 @@ class NativeImageLoader:
         if rc != 0:
             return None
         return bufs
+
+
+class NativeVideoDecoder:
+    """FFmpeg-backed container decode through the native worker
+    (``native/video_decoder.cpp``)."""
+
+    def __init__(self):
+        if _lib is None or not hasattr(_lib, 'mvf_video_probe'):
+            raise RuntimeError('native video decoder not built '
+                               '(run: make -C native)')
+        self.lib = _lib
+
+    def probe(self, path: str):
+        n = ctypes.c_long()
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        rc = self.lib.mvf_video_probe(path.encode(), ctypes.byref(n),
+                                      ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            return None
+        return int(n.value), int(h.value), int(w.value)
+
+    def decode(self, path: str, frame_inds) -> Optional[List[np.ndarray]]:
+        meta = self.probe(path)
+        if meta is None:
+            return None
+        _, h, w = meta
+        inds = np.asarray(frame_inds, np.int64).reshape(-1)
+        n = len(inds)
+        out = np.empty((n, h, w, 3), np.uint8)
+        ow = ctypes.c_int()
+        oh = ctypes.c_int()
+        rc = self.lib.mvf_video_decode(
+            path.encode(),
+            inds.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            out.nbytes, ctypes.byref(ow), ctypes.byref(oh))
+        if rc != 0:
+            return None
+        return [out[i] for i in range(n)]

@@ -24,6 +24,11 @@ import numpy as np
 
 
 def probe_num_frames(filename: str) -> int:
+    dec = _native_decoder()
+    if dec is not None:
+        meta = dec.probe(filename)
+        if meta is not None and meta[0] > 0:
+            return meta[0]
     cap = cv2.VideoCapture(filename)
     try:
         n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
@@ -34,9 +39,33 @@ def probe_num_frames(filename: str) -> int:
     return n
 
 
+_NATIVE_DECODER = None
+_NATIVE_TRIED = False
+
+
+def _native_decoder():
+    global _NATIVE_DECODER, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from .native_io import NativeVideoDecoder
+            _NATIVE_DECODER = NativeVideoDecoder()
+        except Exception:
+            _NATIVE_DECODER = None
+    return _NATIVE_DECODER
+
+
 def decode_frames_accurate(filename: str,
                            frame_inds: np.ndarray) -> Optional[List]:
-    """Sequential decode to max index, then gather (BGR HWC uint8)."""
+    """Sequential decode to max index, then gather (BGR HWC uint8).
+
+    Prefers the native FFmpeg worker (``native/video_decoder.cpp``); falls
+    back to cv2 when the library is not built or the decode fails."""
+    dec = _native_decoder()
+    if dec is not None:
+        frames = dec.decode(filename, frame_inds)
+        if frames is not None:
+            return frames
     cap = cv2.VideoCapture(filename)
     try:
         if not cap.isOpened():

@@ -87,3 +87,57 @@ class TestNativeDecoder:
         assert native is not None and fallback is not None
         for a, b in zip(native['img_group'], fallback['img_group']):
             assert np.abs(a.astype(int) - b.astype(int)).max() <= 1
+
+
+@pytest.fixture(scope='module')
+def test_video(tmp_path_factory):
+    root = tmp_path_factory.mktemp('nvideo')
+    path = str(root / 'clip.mp4')
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*'mp4v'), 10.0,
+                        (64, 48))
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 200, (48, 64, 3), np.uint8)
+    for i in range(25):
+        frame = np.clip(base.astype(int) + i * 8, 0, 255).astype(np.uint8)
+        w.write(frame)
+    w.release()
+    return path
+
+
+class TestNativeVideoDecoder:
+    def test_probe(self, test_video):
+        from mvfnet_tpu.data.native_io import NativeVideoDecoder
+        dec = NativeVideoDecoder()
+        n, h, w = dec.probe(test_video)
+        assert (n, h, w) == (25, 48, 64)
+        assert dec.probe('/nonexistent.mp4') is None
+
+    def test_decode_matches_cv2(self, test_video):
+        from mvfnet_tpu.data.native_io import NativeVideoDecoder
+        dec = NativeVideoDecoder()
+        inds = np.array([0, 3, 3, 11, 24])
+        ours = dec.decode(test_video, inds)
+        cap = cv2.VideoCapture(test_video)
+        ref = {}
+        for i in range(25):
+            ok, f = cap.read()
+            ref[i] = f
+        cap.release()
+        for got, idx in zip(ours, inds):
+            diff = np.abs(got.astype(int) - ref[int(idx)].astype(int))
+            assert diff.mean() < 2.0, (idx, diff.mean())
+
+    def test_clamped_indices(self, test_video):
+        from mvfnet_tpu.data.native_io import NativeVideoDecoder
+        dec = NativeVideoDecoder()
+        out = dec.decode(test_video, np.array([24, 40]))
+        assert out is not None and len(out) == 2
+        np.testing.assert_array_equal(out[0], out[1])  # clamped to last
+
+    def test_video_io_prefers_native(self, test_video):
+        from mvfnet_tpu.data import video_io
+        video_io._NATIVE_TRIED = False  # reset cache
+        frames = video_io.decode_frames_accurate(test_video,
+                                                 np.array([2, 9]))
+        assert frames is not None and len(frames) == 2
+        assert frames[0].shape == (48, 64, 3)
