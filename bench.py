@@ -61,23 +61,23 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), x, None,
                            return_loss=False, train=False)
 
-    def make_runner(k):
-        @jax.jit
-        def run(v, imgs):
-            def body(i, acc):
-                # per-iteration input perturbation prevents loop hoisting
-                s = model.apply(v, imgs + i.astype(imgs.dtype) * 1e-6,
-                                None, return_loss=False)
-                return acc + jnp.mean(s)
-            return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
-        return run
+    @jax.jit
+    def run(v, imgs, k):
+        # dynamic trip count -> ONE compile serves every k
+        def body(i, acc):
+            # per-iteration input perturbation prevents loop hoisting
+            s = model.apply(v, imgs + i.astype(imgs.dtype) * 1e-6,
+                            None, return_loss=False)
+            return acc + jnp.mean(s)
+        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-    def best_time(run):
-        float(run(variables, x))  # compile + warm
+    def best_time(k):
+        k = jnp.asarray(k, jnp.int32)
+        float(run(variables, x, k))  # compile (first call) + warm
         best = float('inf')
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(run(variables, x))  # scalar fetch = true sync point
+            float(run(variables, x, k))  # scalar fetch = true sync point
             best = min(best, time.perf_counter() - t0)
         return best
 
@@ -85,8 +85,8 @@ def main():
         k1, k2 = 1, 2  # CPU smoke mode
     else:
         k1, k2 = K1, K2
-    t1 = best_time(make_runner(k1))
-    t2 = best_time(make_runner(k2))
+    t1 = best_time(k1)
+    t2 = best_time(k2)
     per_video = max((t2 - t1) / (k2 - k1), 1e-9)
     clips_per_sec = views / per_video
 

@@ -60,7 +60,8 @@ def _mvf_taps(w: np.ndarray) -> np.ndarray:
 
 
 def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
-         applied: List[str]) -> bool:
+         applied: List[str],
+         mismatched: Optional[List[str]] = None) -> bool:
     node = tree
     for p in path[:-1]:
         if p not in node:
@@ -78,9 +79,13 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
             kt = target.shape[0]
             value = np.broadcast_to(value / kt, target.shape)
         else:
-            raise ValueError(
-                f'shape mismatch at {"/".join(path)}: '
-                f'{target.shape} vs {value.shape}')
+            # non-strict semantics: skip with a report (mmcv-style
+            # "size mismatch" handling, reference checkpoint.py:49-111)
+            if mismatched is not None:
+                mismatched.append(
+                    f'{"/".join(path)}: ckpt {value.shape} vs model '
+                    f'{target.shape}')
+            return False
     node[leaf] = value.astype(target.dtype)
     applied.append('/'.join(path))
     return True
@@ -181,6 +186,7 @@ def import_torch_weights(state_dict: Dict[str, np.ndarray],
 
     applied: List[str] = []
     unexpected: List[str] = []
+    mismatched: List[str] = []
     for key, value in state_dict.items():
         candidates = _torch_key_to_flax(key)
         if candidates is None:
@@ -206,7 +212,7 @@ def import_torch_weights(state_dict: Dict[str, np.ndarray],
             elif path[-1] in ('shift_conv', 'h_conv', 'w_conv'):
                 v = _mvf_taps(v)
             if collection in tree and _set(tree[collection], path, v,
-                                           applied):
+                                           applied, mismatched):
                 ok = True
                 break
         if not ok:
@@ -226,6 +232,10 @@ def import_torch_weights(state_dict: Dict[str, np.ndarray],
 
     for coll in tree:
         walk(tree[coll], (), coll)
+    if mismatched:
+        logger.warning('size-mismatched keys skipped (non-strict load): %s',
+                       ', '.join(mismatched[:20])
+                       + (' ...' if len(mismatched) > 20 else ''))
     if unexpected:
         logger.info('unexpected keys in source state_dict: %s',
                     ', '.join(unexpected[:20])
