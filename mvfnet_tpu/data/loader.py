@@ -144,11 +144,12 @@ def build_dataloader(dataset,
             rank = jax.process_index()
         sampler = ShardedSampler(len(dataset), world_size, rank,
                                  shuffle=shuffle, seed=seed)
-        batch_size = videos_per_gpu
     else:
         sampler = ShardedSampler(len(dataset), 1, 0, shuffle=shuffle,
                                  seed=seed)
-        batch_size = num_gpus * videos_per_gpu
+    # per-host batch: videos_per_gpu is per-CHIP (reference: per-GPU-process);
+    # a JAX host drives num_gpus local chips in one process.
+    batch_size = num_gpus * videos_per_gpu
     if drop_last is None:
         drop_last = shuffle  # train loaders need static shapes for jit
     return DataLoader(dataset, batch_size, sampler,

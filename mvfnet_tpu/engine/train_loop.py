@@ -198,9 +198,11 @@ class TrainLoop:
         self.eval_history: List[Dict] = []
 
         dist = jax.process_count() > 1
+        n_mesh_devices = int(np.prod(self.mesh.devices.shape))
+        local_chips = max(1, n_mesh_devices // jax.process_count())
         self.loader = build_dataloader(
             dataset, cfg.data['videos_per_gpu'], cfg.data['workers_per_gpu'],
-            dist=dist, shuffle=True, seed=seed)
+            dist=dist, num_gpus=local_chips, shuffle=True, seed=seed)
         self.iters_per_epoch = len(self.loader)
         self.total_epochs = cfg['total_epochs']
 

@@ -207,10 +207,12 @@ class TestTrainLoopSmoke:
         mesh = make_mesh(jax.devices()[:2])
         loop = TrainLoop(model, dataset, cfg, work_dir=cfg.work_dir,
                          mesh=mesh)
+        # per-host batch scales with mesh size: 2 videos/chip x 2 chips = 4
+        assert loop.loader.batch_size == 4
         loop.register_hook(TextLoggerHook(1))
         loop.register_hook(CheckpointHook(1))
         state = loop.run()
-        assert int(state.step) == 4  # 2 epochs x 2 iters
+        assert int(state.step) == 2  # 2 epochs x 1 iter (4 videos/batch 4)
         assert os.path.exists(os.path.join(cfg.work_dir, 'latest.msgpack'))
         assert os.path.exists(os.path.join(cfg.work_dir, 'epoch_2.msgpack'))
 
@@ -221,9 +223,9 @@ class TestTrainLoopSmoke:
         loop2 = TrainLoop(model, dataset, cfg2, work_dir=cfg2.work_dir,
                           mesh=mesh)
         assert loop2.epoch == 1
-        assert int(loop2.state.step) == 2
+        assert int(loop2.state.step) == 1
         state2 = loop2.run()
-        assert int(state2.step) == 4
+        assert int(state2.step) == 2
 
     def test_loss_decreases_on_overfit(self, tiny_data, tmp_path):
         """Sanity: loss moves down when overfitting 4 videos."""
