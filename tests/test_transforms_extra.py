@@ -93,3 +93,36 @@ class TestRandomRescaledCrop:
              'modality': 'RGB', 'rng': np.random.default_rng(0)}
         out = rrc(g)
         assert out['img_group'][0].shape == (112, 112, 3)
+
+
+class TestMiscFormatOps:
+    def test_resize_fixed_size(self):
+        from mvfnet_tpu.data.transforms import Resize
+        out = Resize(scale=(100, 60), keep_ratio=False)(
+            {'img_group': [np.zeros((240, 320, 3), np.uint8)],
+             'modality': 'RGB'})
+        assert out['img_group'][0].shape == (60, 100, 3)
+
+    def test_image_to_tensor_and_transpose(self):
+        from mvfnet_tpu.data.transforms import ImageToTensor, Transpose
+        img = np.arange(24, dtype=np.float32).reshape(2, 4, 3)
+        out = ImageToTensor(['img'])({'img': img.copy()})
+        assert out['img'].shape == (3, 2, 4)
+        out2 = Transpose(['img'], (1, 2, 0))({'img': out['img']})
+        np.testing.assert_array_equal(out2['img'], img)
+
+    def test_nthwc_format(self):
+        from mvfnet_tpu.data.transforms import FormatShape
+        frames = [np.zeros((8, 8, 3), np.uint8) for _ in range(12)]
+        out = FormatShape('NTHWC')(
+            dict(img_group=frames, modality='RGB', num_clips=3, clip_len=4))
+        assert out['img_group'].shape == (3, 4, 8, 8, 3)
+
+    def test_nthwc_uniform_sampling_special_case(self):
+        """clip_len==1, num_clips>1 -> clips become the temporal axis
+        (reference formating.py:167-172)."""
+        from mvfnet_tpu.data.transforms import FormatShape
+        frames = [np.zeros((8, 8, 3), np.uint8) for _ in range(6)]
+        out = FormatShape('NTHWC')(
+            dict(img_group=frames, modality='RGB', num_clips=6, clip_len=1))
+        assert out['img_group'].shape == (1, 6, 8, 8, 3)
