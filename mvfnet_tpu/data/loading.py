@@ -74,6 +74,16 @@ class FrameSelector:
         inds = np.asarray(results['frame_inds']).reshape(-1)
         imgs: List[np.ndarray] = []
         modality = results.get('modality', 'RGB')
+        if self._native is not None and modality in ('RGB', 'RGBDiff'):
+            # One native call decodes the whole clip on the C++ thread pool.
+            paths = [osp.join(directory, tmpl.format(int(i) + 1))
+                     for i in inds]
+            batch = self._native.load_batch(paths)
+            if batch is not None:
+                results['img_group'] = batch
+                results['ori_shape'] = batch[0].shape
+                return results
+            # fall through to the per-frame path (handles corrupt frames)
         for frame_idx in inds:
             frame_idx = int(frame_idx)
             if modality in ('RGB', 'RGBDiff'):
