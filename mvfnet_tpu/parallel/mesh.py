@@ -36,8 +36,9 @@ def init_distributed(launcher: Optional[str] = None,
     launcher='slurm' lets jax.distributed auto-detect from SLURM_* vars;
     launcher=None auto-initializes only when env vars are present.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if jax.distributed.is_initialized():
+        return  # already initialized (must not touch the backend before
+        # jax.distributed.initialize — jax.process_count() would)
     if launcher == 'slurm' or (launcher is None and 'SLURM_PROCID' in os.environ
                                and 'SLURM_NTASKS' in os.environ
                                and int(os.environ['SLURM_NTASKS']) > 1):
