@@ -135,12 +135,15 @@ class EvalHook(Hook):
         self.k = k
         self.videos_per_gpu = videos_per_gpu
         self.workers_per_gpu = workers_per_gpu
+        self._dataset = None
 
     def after_epoch(self, loop):
         if (loop.epoch + 1) % self.interval != 0:
             return
         from .eval import evaluate_dataset
-        dataset = build_dataset(self.dataset_cfg)
+        if self._dataset is None:
+            self._dataset = build_dataset(self.dataset_cfg)
+        dataset = self._dataset
         results = evaluate_dataset(
             loop.model, loop.state.variables(), dataset,
             mesh=loop.mesh, videos_per_gpu=self.videos_per_gpu,
