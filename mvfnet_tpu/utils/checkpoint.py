@@ -91,6 +91,36 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
     return True
 
 
+_BNI_BRANCH = {
+    '1x1': 'b1x1', '3x3_reduce': 'b3_reduce', '3x3': 'b3',
+    'double_3x3_reduce': 'bd_reduce', 'double_3x3_1': 'bd1',
+    'double_3x3_2': 'bd2', 'pool_proj': 'bpool_proj',
+}
+
+
+def _bninception_key(parts):
+    """Map a BNInception torch name to (module path, leaf) in our tree,
+    e.g. inception_3a_double_3x3_1_bn.weight ->
+    (('inception_3a', 'bd1', 'bn'), 'weight')."""
+    name, leaf = parts[0], parts[-1]
+    if name in ('conv1_7x7_s2', 'conv2_3x3_reduce', 'conv2_3x3'):
+        return (name, 'conv'), leaf
+    if name in ('conv1_7x7_s2_bn', 'conv2_3x3_reduce_bn', 'conv2_3x3_bn'):
+        return (name[:-3], 'bn'), leaf
+    if not name.startswith('inception_'):
+        return None
+    rest = name[len('inception_'):]
+    block, _, branch = rest.partition('_')
+    is_bn = branch.endswith('_bn')
+    if is_bn:
+        branch = branch[:-3]
+    mapped = _BNI_BRANCH.get(branch)
+    if mapped is None:
+        return None
+    return ((f'inception_{block}', mapped, 'bn' if is_bn else 'conv'),
+            leaf)
+
+
 def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
     """Map one torch parameter name to (collection, flax path) candidates.
 
@@ -128,6 +158,21 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
             return [('batch_stats', base + ('mean',))]
         if leaf == 'running_var':
             return [('batch_stats', base + ('var',))]
+        return None
+
+    # BNInception vocabulary (caffe-converted names, reference
+    # bninception.py): conv1_7x7_s2[_bn], conv2_3x3[_reduce][_bn],
+    # inception_{3a..5b}_{1x1,3x3_reduce,3x3,double_3x3_reduce,
+    # double_3x3_1,double_3x3_2,pool_proj}[_bn]
+    bni = _bninception_key(parts)
+    if bni is not None:
+        base, leaf = bni
+        if leaf == 'weight' and base[-1] == 'conv':
+            return [('params', prefix + base + ('kernel',))]
+        if leaf == 'bias' and base[-1] == 'conv':
+            return [('params', prefix + base + ('bias',))]
+        if base[-1] == 'bn':
+            return bn_paths(prefix + base, leaf)
         return None
 
     # stem

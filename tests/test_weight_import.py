@@ -182,3 +182,51 @@ class TestI3DInflation:
         np.testing.assert_allclose(
             np.asarray(new_vars['params']['backbone_mod']['bn1']['scale']),
             bn_gamma)
+
+
+class TestBNInceptionImport:
+    def test_caffe_vocabulary_maps(self):
+        """BNInception torch keys (caffe conversion) import into our
+        data-driven graph."""
+        from mvfnet_tpu.models import build_backbone
+        bb = build_backbone(dict(type='BNInception', bn_eval=False))
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+        # wrap like a recognizer tree (importer expects backbone_mod/...)
+        tree = {'params': {'backbone_mod': variables['params']},
+                'batch_stats': {'backbone_mod': variables['batch_stats']}}
+        rng = np.random.RandomState(0)
+        sd = {
+            'conv1_7x7_s2.weight': rng.randn(64, 3, 7, 7).astype(np.float32),
+            'conv1_7x7_s2.bias': rng.randn(64).astype(np.float32),
+            'conv1_7x7_s2_bn.weight': rng.randn(64).astype(np.float32),
+            'conv1_7x7_s2_bn.running_mean':
+                rng.randn(64).astype(np.float32),
+            'inception_3a_double_3x3_1.weight':
+                rng.randn(96, 64, 3, 3).astype(np.float32),
+            'inception_3a_double_3x3_1_bn.bias':
+                rng.randn(96).astype(np.float32),
+            'inception_5b_pool_proj.weight':
+                rng.randn(128, 1024, 1, 1).astype(np.float32),
+        }
+        new = import_torch_weights(sd, tree)
+        p = new['params']['backbone_mod']
+        np.testing.assert_allclose(
+            p['conv1_7x7_s2']['conv']['kernel'],
+            sd['conv1_7x7_s2.weight'].transpose(2, 3, 1, 0))
+        np.testing.assert_allclose(p['conv1_7x7_s2']['conv']['bias'],
+                                   sd['conv1_7x7_s2.bias'])
+        np.testing.assert_allclose(p['conv1_7x7_s2']['bn']['scale'],
+                                   sd['conv1_7x7_s2_bn.weight'])
+        np.testing.assert_allclose(
+            new['batch_stats']['backbone_mod']['conv1_7x7_s2']['bn']['mean'],
+            sd['conv1_7x7_s2_bn.running_mean'])
+        np.testing.assert_allclose(
+            p['inception_3a']['bd1']['conv']['kernel'],
+            sd['inception_3a_double_3x3_1.weight'].transpose(2, 3, 1, 0))
+        np.testing.assert_allclose(
+            p['inception_3a']['bd1']['bn']['bias'],
+            sd['inception_3a_double_3x3_1_bn.bias'])
+        np.testing.assert_allclose(
+            p['inception_5b']['bpool_proj']['conv']['kernel'],
+            sd['inception_5b_pool_proj.weight'].transpose(2, 3, 1, 0))
