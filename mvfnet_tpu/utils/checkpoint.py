@@ -92,21 +92,27 @@ def _set(tree: Dict, path: Tuple[str, ...], value: np.ndarray,
 
 
 _BNI_BRANCH = {
+    # BNInception (bninception.py) and InceptionV1_I3D (inception_v1_i3d.py)
+    # branch names -> our module names (both use inner conv/bn children)
     '1x1': 'b1x1', '3x3_reduce': 'b3_reduce', '3x3': 'b3',
     'double_3x3_reduce': 'bd_reduce', 'double_3x3_1': 'bd1',
     'double_3x3_2': 'bd2', 'pool_proj': 'bpool_proj',
+    'branch1_3x3_reduce': 'b1_reduce', 'branch1_3x3': 'b1_3x3',
+    'branch2_3x3_reduce': 'b2_reduce', 'branch2_3x3': 'b2_3x3',
 }
 
 
 def _bninception_key(parts):
-    """Map a BNInception torch name to (module path, leaf) in our tree,
-    e.g. inception_3a_double_3x3_1_bn.weight ->
-    (('inception_3a', 'bd1', 'bn'), 'weight')."""
+    """Map a BNInception / InceptionV1_I3D torch name to candidate
+    (module path, leaf) tuples, e.g. inception_3a_double_3x3_1_bn.weight ->
+    [ (('inception_3a', 'bd1', 'bn'), 'weight') ]."""
     name, leaf = parts[0], parts[-1]
     if name in ('conv1_7x7_s2', 'conv2_3x3_reduce', 'conv2_3x3'):
-        return (name, 'conv'), leaf
+        # BNInception nests conv/bn; the I3D variant keeps the stem conv
+        # flat (conv1_7x7_s2 + conv1_bn)
+        return [((name, 'conv'), leaf), ((name,), leaf)]
     if name in ('conv1_7x7_s2_bn', 'conv2_3x3_reduce_bn', 'conv2_3x3_bn'):
-        return (name[:-3], 'bn'), leaf
+        return [((name[:-3], 'bn'), leaf), (('conv1_bn',), leaf)]
     if not name.startswith('inception_'):
         return None
     rest = name[len('inception_'):]
@@ -117,8 +123,43 @@ def _bninception_key(parts):
     mapped = _BNI_BRANCH.get(branch)
     if mapped is None:
         return None
-    return ((f'inception_{block}', mapped, 'bn' if is_bn else 'conv'),
-            leaf)
+    sub = 'bn' if is_bn else 'conv'
+    cands = [((f'inception_{block}', mapped, sub), leaf)]
+    if branch == 'pool_proj':
+        # the I3D family names this branch 'pool_proj' (not 'bpool_proj')
+        cands.append(((f'inception_{block}', 'pool_proj', sub), leaf))
+    return cands
+
+
+def _mobilenet_key(parts):
+    """Map d-li14 MobileNetV2 names (the reference's pretrained source,
+    mobilenet_v2.py) to our tree: features.0.{0,1} stem, features.K.conv.I
+    inverted residuals, conv.{0,1} head."""
+    if parts[0] == 'features':
+        k = int(parts[1])
+        if k == 0:
+            sub = 'stem_conv' if parts[2] == '0' else 'stem_bn'
+            return [((sub,), parts[-1])]
+        block = k - 1
+        if parts[2] != 'conv':
+            return None
+        idx = parts[3]
+        # expansion blocks: 0 pw,1 bn,3 dw,4 bn,6 pwl,7 bn;
+        # t==1 (block 0): 0 dw,1 bn,3 pwl,4 bn
+        if block == 0:
+            sub = {'0': 'dw_conv', '1': 'dw_bn', '3': 'pw_linear_conv',
+                   '4': 'pw_linear_bn'}.get(idx)
+        else:
+            sub = {'0': 'pw_conv', '1': 'pw_bn', '3': 'dw_conv',
+                   '4': 'dw_bn', '6': 'pw_linear_conv',
+                   '7': 'pw_linear_bn'}.get(idx)
+        if sub is None:
+            return None
+        return [((f'block{block}', sub), parts[-1])]
+    if parts[0] == 'conv' and len(parts) == 3:
+        sub = 'head_conv' if parts[1] == '0' else 'head_bn'
+        return [((sub,), parts[-1])]
+    return None
 
 
 def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
@@ -160,20 +201,24 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
             return [('batch_stats', base + ('var',))]
         return None
 
-    # BNInception vocabulary (caffe-converted names, reference
-    # bninception.py): conv1_7x7_s2[_bn], conv2_3x3[_reduce][_bn],
-    # inception_{3a..5b}_{1x1,3x3_reduce,3x3,double_3x3_reduce,
-    # double_3x3_1,double_3x3_2,pool_proj}[_bn]
-    bni = _bninception_key(parts)
-    if bni is not None:
-        base, leaf = bni
-        if leaf == 'weight' and base[-1] == 'conv':
-            return [('params', prefix + base + ('kernel',))]
-        if leaf == 'bias' and base[-1] == 'conv':
-            return [('params', prefix + base + ('bias',))]
-        if base[-1] == 'bn':
-            return bn_paths(prefix + base, leaf)
-        return None
+    # BNInception / InceptionV1_I3D / MobileNetV2 vocabularies
+    for mapper in (_bninception_key, _mobilenet_key):
+        cands = mapper(parts)
+        if cands is None:
+            continue
+        out = []
+        for base, leaf in cands:
+            is_bn_node = base[-1] == 'bn' or base[-1].endswith('_bn') \
+                or base[-1] == 'conv1_bn'
+            if is_bn_node:
+                bp = bn_paths(prefix + base, leaf)
+                if bp:
+                    out.extend(bp)
+            elif leaf == 'weight':
+                out.append(('params', prefix + base + ('kernel',)))
+            elif leaf == 'bias':
+                out.append(('params', prefix + base + ('bias',)))
+        return out or None
 
     # stem
     if parts[0] == 'conv1' and parts[-1] == 'weight' and len(parts) == 2:
@@ -252,6 +297,9 @@ def import_torch_weights(state_dict: Dict[str, np.ndarray],
                     v = np.broadcast_to(
                         v.mean(axis=2, keepdims=True),
                         v.shape[:2] + (inflate_in_channels,) + v.shape[3:])
+            elif path[-1] == 'kernel' and v.ndim == 5:
+                # torch Conv3d (O,I,kT,kH,kW) -> flax (kT,kH,kW,I,O)
+                v = np.transpose(v, (2, 3, 4, 1, 0))
             elif path[-1] == 'kernel' and v.ndim == 2:
                 v = np.transpose(v)  # torch Linear (out,in) -> flax (in,out)
             elif path[-1] in ('shift_conv', 'h_conv', 'w_conv'):

@@ -230,3 +230,76 @@ class TestBNInceptionImport:
         np.testing.assert_allclose(
             p['inception_5b']['bpool_proj']['conv']['kernel'],
             sd['inception_5b_pool_proj.weight'].transpose(2, 3, 1, 0))
+
+
+class TestMoreImportVocabularies:
+    def test_mobilenet_v2_dli14_keys(self):
+        from mvfnet_tpu.models import build_backbone
+        bb = build_backbone(dict(type='MobileNetV2', norm_eval=False))
+        x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+        tree = {'params': {'backbone_mod': variables['params']},
+                'batch_stats': {'backbone_mod': variables['batch_stats']}}
+        rng = np.random.RandomState(0)
+        sd = {
+            'features.0.0.weight': rng.randn(32, 3, 3, 3).astype(np.float32),
+            'features.0.1.weight': rng.randn(32).astype(np.float32),
+            # block 0 (t=1): conv.0 is depthwise
+            'features.1.conv.0.weight':
+                rng.randn(32, 1, 3, 3).astype(np.float32),
+            # block 1 (t=6): conv.0 is pointwise expand
+            'features.2.conv.0.weight':
+                rng.randn(96, 16, 1, 1).astype(np.float32),
+            'conv.0.weight': rng.randn(1280, 320, 1, 1).astype(np.float32),
+            'conv.1.running_var': np.abs(rng.randn(1280)).astype(np.float32),
+        }
+        new = import_torch_weights(sd, tree)
+        p = new['params']['backbone_mod']
+        np.testing.assert_allclose(
+            p['stem_conv']['kernel'],
+            sd['features.0.0.weight'].transpose(2, 3, 1, 0))
+        np.testing.assert_allclose(p['stem_bn']['scale'],
+                                   sd['features.0.1.weight'])
+        np.testing.assert_allclose(
+            p['block0']['dw_conv']['kernel'],
+            sd['features.1.conv.0.weight'].transpose(2, 3, 1, 0))
+        np.testing.assert_allclose(
+            p['block1']['pw_conv']['kernel'],
+            sd['features.2.conv.0.weight'].transpose(2, 3, 1, 0))
+        np.testing.assert_allclose(
+            p['head_conv']['kernel'],
+            sd['conv.0.weight'].transpose(2, 3, 1, 0))
+        np.testing.assert_allclose(
+            new['batch_stats']['backbone_mod']['head_bn']['var'],
+            sd['conv.1.running_var'])
+
+    def test_inception_i3d_keys(self):
+        from mvfnet_tpu.models import build_backbone
+        bb = build_backbone(dict(type='InceptionV1_I3D', bn_eval=False))
+        x = jnp.zeros((1, 8, 64, 64, 3), jnp.float32)
+        variables = bb.init(jax.random.PRNGKey(0), x, train=False)
+        tree = {'params': {'backbone_mod': variables['params']},
+                'batch_stats': {'backbone_mod': variables['batch_stats']}}
+        rng = np.random.RandomState(1)
+        sd = {
+            'conv1_7x7_s2.weight':
+                rng.randn(64, 3, 7, 7, 7).astype(np.float32),
+            'conv1_7x7_s2_bn.weight': rng.randn(64).astype(np.float32),
+            'inception_3a_branch1_3x3.weight':
+                rng.randn(128, 96, 3, 3, 3).astype(np.float32),
+            'inception_3a_pool_proj.weight':
+                rng.randn(32, 192, 1, 1, 1).astype(np.float32),
+        }
+        new = import_torch_weights(sd, tree)
+        p = new['params']['backbone_mod']
+        np.testing.assert_allclose(
+            p['conv1_7x7_s2']['kernel'],
+            sd['conv1_7x7_s2.weight'].transpose(2, 3, 4, 1, 0))
+        np.testing.assert_allclose(p['conv1_bn']['scale'],
+                                   sd['conv1_7x7_s2_bn.weight'])
+        np.testing.assert_allclose(
+            p['inception_3a']['b1_3x3']['conv']['kernel'],
+            sd['inception_3a_branch1_3x3.weight'].transpose(2, 3, 4, 1, 0))
+        np.testing.assert_allclose(
+            p['inception_3a']['pool_proj']['conv']['kernel'],
+            sd['inception_3a_pool_proj.weight'].transpose(2, 3, 4, 1, 0))
