@@ -1,0 +1,30 @@
+"""Cross-round numerical regression guard: fixed-seed R50+MVF logits on a
+fixed input must stay stable (refactors across build rounds must not drift
+the forward numerics)."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mvfnet_tpu.models import build_recognizer
+from test_models import r50_mvf_cfg
+
+GOLDEN = os.path.join(os.path.dirname(__file__), 'golden',
+                      'r50_mvf_logits.npz')
+
+
+def test_forward_matches_golden():
+    data = np.load(GOLDEN)
+    model = build_recognizer(r50_mvf_cfg(), test_cfg=dict(average_clips=None))
+    imgs0 = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs0,
+                           jnp.zeros((1,), jnp.int32), return_loss=True,
+                           train=False)
+    rng = np.random.RandomState(int(data['x_seed']))
+    x = rng.randn(2, 4, 32, 32, 3).astype(np.float32)
+    logits = np.asarray(model.apply(variables, jnp.asarray(x), None,
+                                    return_loss=False))
+    np.testing.assert_allclose(logits, data['logits'], rtol=1e-4, atol=1e-5)
