@@ -40,8 +40,21 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
     variables = replicate(variables, mesh)
     out: List[np.ndarray] = []
     n_batches = len(loader)
-    for bi, batch in enumerate(loader):
-        imgs = jax.device_put(np.asarray(batch['img_group']))
+
+    def device_batches():
+        # keep one transfer in flight ahead of compute (JAX transfers are
+        # async; holding the next batch's device array overlaps H2D with
+        # the current step)
+        pending = None
+        for batch in loader:
+            nxt = jax.device_put(np.asarray(batch['img_group']))
+            if pending is not None:
+                yield pending
+            pending = nxt
+        if pending is not None:
+            yield pending
+
+    for bi, imgs in enumerate(device_batches()):
         scores = step(variables, imgs)
         out.append(np.asarray(scores))
         if progress and rank == 0 and (bi % 20 == 0 or bi == n_batches - 1):

@@ -311,3 +311,42 @@ class TestPklDataset:
         s = ds[0]
         assert s['img_group'].shape == (4, 64, 80, 3)
         assert s['label'] == 0
+
+
+class TestSthSamplingVariants:
+    def test_sth_samples_2_doubles_offsets(self):
+        """sth_samples=2: centered offsets + left-aligned offsets
+        (loading.py:71-74)."""
+        sf = SampleFrames(clip_len=4, frame_interval=2, num_clips=3,
+                          sth_samples=2)
+        inds = sf.get_frame_inds(100, test_mode=True)
+        assert inds.shape == (2 * 3 * 4,)
+        tick = (100 - 8 + 1) / 3.0
+        centered = [int(tick / 2 + tick * x) for x in range(3)]
+        left = [int(tick * x) for x in range(3)]
+        expect_offsets = centered + left
+        got_offsets = inds.reshape(6, 4)[:, 0]
+        np.testing.assert_array_equal(got_offsets, expect_offsets)
+
+    def test_sth_samples_10_uses_train_sampler(self):
+        """sth_samples=10: ten random train-style draws (loading.py:75-79)."""
+        rng = np.random.default_rng(0)
+        sf = SampleFrames(clip_len=4, frame_interval=2, num_clips=3,
+                          sth_samples=10)
+        inds = sf.get_frame_inds(100, test_mode=True, rng=rng)
+        assert inds.shape == (10 * 3 * 4,)
+        assert inds.min() >= 0 and inds.max() < 100
+
+    def test_temporal_jitter(self):
+        """Jitter adds the same per-frame offset to every clip
+        (loading.py:102-107)."""
+        rng = np.random.default_rng(1)
+        sf = SampleFrames(clip_len=4, frame_interval=4, num_clips=2,
+                          temporal_jitter=True)
+        inds = sf.get_frame_inds(200, test_mode=True, rng=rng).reshape(2, 4)
+        base = SampleFrames(clip_len=4, frame_interval=4, num_clips=2
+                            ).get_frame_inds(200, test_mode=True).reshape(2, 4)
+        jitter = inds - base
+        # same jitter vector applied to both clips, within [0, interval)
+        np.testing.assert_array_equal(jitter[0], jitter[1])
+        assert (jitter >= 0).all() and (jitter < 4).all()
