@@ -205,6 +205,45 @@ class _SplitPointwiseConv(nn.Module):
             + conv(x_rest, k[:, :, self.split:])
 
 
+class _SpaceToDepthStem(nn.Module):
+    """7x7/s2/p3 stem conv evaluated in space-to-depth form.
+
+    With 3 input channels the MXU contracts over K=3 of 128 lanes; the
+    MLPerf-ResNet trick zero-pads the kernel to 8x8, moves 2x2 pixel blocks
+    into channels (K=12), and runs an equivalent 4x4/s1 conv on the
+    half-resolution grid. Bit-exact to the original conv; the parameter
+    remains the plain (7,7,C,64) 'conv1/kernel' so checkpoints are
+    unaffected.
+    """
+    features: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (7, 7, c, self.features), jnp.float32)
+        k = kernel.astype(self.dtype) if self.dtype else kernel
+        x = x.astype(k.dtype)
+        # kernel: top/left zero-pad to 8x8, then 2x2-block -> channel
+        k = jnp.pad(k, [(1, 0), (1, 0), (0, 0), (0, 0)])
+        k = k.reshape(4, 2, 4, 2, c, self.features)
+        k = k.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c,
+                                                  self.features)
+        # input: effective padding (4, 3) per spatial dim (3 from the conv,
+        # +1 matching the kernel shift), +1 right/bottom for even blocking;
+        # the surplus final output row/col is dropped below.
+        xp = jnp.pad(x, [(0, 0), (4, 4), (4, 4), (0, 0)])
+        hp, wp = h + 8, w + 8
+        xp = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+        xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2,
+                                                    4 * c)
+        out = jax.lax.conv_general_dilated(
+            xp, k, window_strides=(1, 1), padding='VALID',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return out[:, :h // 2, :w // 2]
+
+
 def _downsample(x, out_ch, stride, dilation, avg_down, norm_cfg, use_ra,
                 dtype):
     """Shortcut projection (reference ``make_res_layer``, ``resnet.py:279-304``)."""
@@ -259,6 +298,9 @@ class ResNet(nn.Module):
     avd_first: bool = False
     deep_stem: bool = False
     stem_width: int = 64
+    # evaluate the 7x7/s2 stem in space-to-depth form (bit-exact, faster on
+    # TPU where K=3 starves the MXU; see _SpaceToDepthStem)
+    stem_s2d: bool = True
     temporal_cfg: Optional[Dict] = None
     temporal_freq: Sequence[int] = (0, 0, 0, 0)
     # Non-local wrappers after selected blocks of stages 2/3 (reference
@@ -296,6 +338,10 @@ class ResNet(nn.Module):
                         x, use_running_average=use_ra)
                     x = nn.relu(x)
             inplanes = sw * 2
+        elif self.stem_s2d:
+            x = _SpaceToDepthStem(features=64, dtype=self.dtype,
+                                  name='conv1')(x)
+            inplanes = 64
         else:
             x = conv2d(64, 7, stride=2, padding=3, name='conv1',
                        dtype=self.dtype)(x)
