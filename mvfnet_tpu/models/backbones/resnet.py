@@ -354,6 +354,10 @@ class ResNet(nn.Module):
         outs = []
         for i, num_blocks in enumerate(stage_blocks):
             planes = 64 * 2 ** i
+            # partial_norm: BN of stages 1..frozen_stages runs in eval mode
+            # even while training (reference resnet.py:506-513)
+            stage_norm_eval = self.norm_eval or (
+                self.partial_norm and (i + 1) <= self.frozen_stages)
             stage_temporal = (self.temporal_cfg
                               if self.temporal_cfg and self.temporal_freq[i]
                               else None)
@@ -387,7 +391,7 @@ class ResNet(nn.Module):
                 # train-step level via jax.checkpoint policies; block-level
                 # remat is unnecessary under XLA.
                 x = block_cls(**kwargs)(x, train=train,
-                                        norm_eval=self.norm_eval)
+                                        norm_eval=stage_norm_eval)
                 inplanes = planes * block_cls.expansion
                 if self.nonlocal_cfg and i in (1, 2):
                     from ..modules.nonlocal_attention import (
@@ -400,7 +404,7 @@ class ResNet(nn.Module):
                         x5 = LocalAttention(
                             dim=cc, hidden=cc // 2, dtype=self.dtype,
                             name=f'nonlocal{i + 1}_{j}')(
-                            x5, train=train, norm_eval=self.norm_eval)
+                            x5, train=train, norm_eval=stage_norm_eval)
                         x = x5.reshape(nt, hh, ww, cc)
             if i in self.out_indices:
                 outs.append(x)

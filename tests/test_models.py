@@ -169,3 +169,27 @@ class TestFlopsParity:
         stats = get_flop_stats(model, variables, (1, 8, 224, 224, 3))
         assert stats['params'] == 24_342_416  # 24.34 M, matches reference
         assert abs(stats['gmacs'] - 32.909) / 32.909 < 0.05, stats['gmacs']
+
+
+class TestPartialNorm:
+    def test_frozen_stage_bn_uses_running_stats_in_train(self):
+        """partial_norm + frozen_stages=1: stage-1 BN stats must NOT update
+        in train mode while stage-4 BN stats do (resnet.py:506-513)."""
+        from mvfnet_tpu.models import build_backbone
+        bb = build_backbone(dict(type='ResNet', depth=18, out_indices=(3,),
+                                 norm_eval=False, partial_norm=True,
+                                 frozen_stages=1,
+                                 norm_cfg=dict(type='BN',
+                                               requires_grad=True)))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = bb.init(jax.random.PRNGKey(1), x, train=False)
+        _, new_vars = bb.apply(variables, x, train=True,
+                               mutable=['batch_stats'])
+        old_bs = variables['batch_stats']
+        new_bs = new_vars['batch_stats']
+        np.testing.assert_allclose(
+            np.asarray(new_bs['layer1_0']['bn1']['mean']),
+            np.asarray(old_bs['layer1_0']['bn1']['mean']))
+        assert not np.allclose(
+            np.asarray(new_bs['layer4_0']['bn1']['mean']),
+            np.asarray(old_bs['layer4_0']['bn1']['mean']))
