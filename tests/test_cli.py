@@ -124,3 +124,22 @@ class TestCLIWorkflow:
                     str(ws / 'data' / 'ann.txt'))
         assert r.returncode == 0, r.stderr[-2000:]
         assert 'Top-1 Accuracy' in r.stdout
+
+        # dense-inference flag plumbing (reference test_recognizer.py:71-79
+        # pushes fcn_testing into model+head cfg)
+        fcn_pkl = ws / 'scores_fcn.pkl'
+        r = run_cli('test_recognizer.py', str(cfg), str(ckpt),
+                    '--fcn_testing', '--out', str(fcn_pkl))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert 'Top-1 Accuracy' in r.stdout
+        import pickle
+
+        import numpy as np
+        with open(fcn_pkl, 'rb') as f:
+            fcn_scores = np.asarray(pickle.load(f))
+        with open(out_pkl, 'rb') as f:
+            pooled_scores = np.asarray(pickle.load(f))
+        # fcn (1x1x1-conv over the class map) == pooled-FC math for an
+        # avg-pool TSN head; scores must agree, not just both run
+        np.testing.assert_allclose(fcn_scores, pooled_scores,
+                                   rtol=1e-4, atol=1e-5)
