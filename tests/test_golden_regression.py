@@ -12,8 +12,8 @@ import jax.numpy as jnp
 from mvfnet_tpu.models import build_recognizer
 from test_models import r50_mvf_cfg
 
-GOLDEN = os.path.join(os.path.dirname(__file__), 'golden',
-                      'r50_mvf_logits.npz')
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), 'golden')
+GOLDEN = os.path.join(GOLDEN_DIR, 'r50_mvf_logits.npz')
 
 
 def test_forward_matches_golden():
@@ -25,6 +25,21 @@ def test_forward_matches_golden():
                            train=False)
     rng = np.random.RandomState(int(data['x_seed']))
     x = rng.randn(2, 4, 32, 32, 3).astype(np.float32)
+    logits = np.asarray(model.apply(variables, jnp.asarray(x), None,
+                                    return_loss=False))
+    np.testing.assert_allclose(logits, data['logits'], rtol=1e-4, atol=1e-5)
+
+
+def test_i3d_forward_matches_golden():
+    from test_models_3d import i3d_cfg
+    data = np.load(os.path.join(GOLDEN_DIR, 'i3d_r50_logits.npz'))
+    model = build_recognizer(i3d_cfg(), test_cfg=dict(average_clips=None))
+    imgs0 = jnp.zeros((1, 1, 8, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), imgs0,
+                           jnp.zeros((1,), jnp.int32), return_loss=True,
+                           train=False)
+    rng = np.random.RandomState(int(data['x_seed']))
+    x = rng.randn(2, 1, 8, 32, 32, 3).astype(np.float32)
     logits = np.asarray(model.apply(variables, jnp.asarray(x), None,
                                     return_loss=False))
     np.testing.assert_allclose(logits, data['logits'], rtol=1e-4, atol=1e-5)
