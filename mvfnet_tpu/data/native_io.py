@@ -1,6 +1,9 @@
 """ctypes binding for the native JPEG decode worker (``native/``).
 
-Loads ``libmvf_native.so`` when built (``make -C native``); FrameSelector
+TPU-native answer to the reference's native decode dependencies (mmcv
+imfrombytes / decord, reference
+``codes/datasets/pipelines/loading.py:282-475``). Loads
+``libmvf_native.so`` when built (``make -C native``); FrameSelector
 falls back to cv2 when absent, so the native path is a pure accelerator.
 Batch decode releases the GIL for the whole batch and fans out over a C++
 thread pool.

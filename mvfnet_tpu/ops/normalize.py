@@ -4,7 +4,8 @@ Companion of ``Normalize(device=True)`` (``data/transforms.py``): the host
 pipeline ships uint8 BGR frames; this op runs inside the jitted step —
 cast, optional /255, BGR->RGB channel flip, mean/std affine — and fuses
 into the stem convolution's input processing. Matches the host-side
-Normalize math exactly (``augmentations.py:342-390`` semantics).
+Normalize math exactly (reference
+``codes/datasets/pipelines/augmentations.py:343-396`` semantics).
 """
 
 from __future__ import annotations
