@@ -11,10 +11,9 @@ access, dict-style access, ``.get``, ``fromfile``, and CLI override merging.
 from __future__ import annotations
 
 import importlib.util
+import itertools
 import os
 import sys
-import tempfile
-import shutil
 from typing import Any, Dict, Optional
 
 
@@ -57,28 +56,60 @@ class Config:
     @staticmethod
     def fromfile(filename: str) -> 'Config':
         filename = os.path.abspath(os.path.expanduser(filename))
+        return Config(Config._load_dict(filename), filename=filename)
+
+    @staticmethod
+    def _load_dict(filename: str) -> Dict[str, Any]:
+        """Exec one config file and resolve its ``_base_`` inheritance
+        chain (mmcv.Config semantics, which the reference relies on via
+        ``mmcv.Config.fromfile``, ``/root/reference/train_recognizer.py:52``):
+        bases merge recursively dict-by-key, the deriving file wins, and
+        non-dict values (including lists, e.g. pipelines) replace wholesale.
+        """
         if not os.path.isfile(filename):
             raise FileNotFoundError(filename)
         if not filename.endswith('.py'):
             raise ValueError('Only python config files are supported')
-        # Import the file as an anonymous module in a temp dir so config files
-        # with identical basenames don't collide in sys.modules.
-        with tempfile.TemporaryDirectory() as tmpdir:
-            tmp_path = os.path.join(tmpdir, '_mvf_cfg.py')
-            shutil.copyfile(filename, tmp_path)
-            spec = importlib.util.spec_from_file_location('_mvf_cfg', tmp_path)
-            mod = importlib.util.module_from_spec(spec)
-            sys.modules['_mvf_cfg'] = mod
-            try:
-                spec.loader.exec_module(mod)
-                cfg_dict = {
-                    k: v for k, v in mod.__dict__.items()
-                    if not k.startswith('__') and not callable(v)
-                    and not isinstance(v, type(sys))
-                }
-            finally:
-                sys.modules.pop('_mvf_cfg', None)
-        return Config(cfg_dict, filename=filename)
+        # Unique module name per load: config files with identical basenames
+        # must not collide in sys.modules; exec at the real path so the file
+        # may use __file__-relative logic.
+        mod_name = f'_mvf_cfg_{next(Config._load_counter)}'
+        spec = importlib.util.spec_from_file_location(mod_name, filename)
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[mod_name] = mod
+        try:
+            spec.loader.exec_module(mod)
+            cfg_dict = {
+                k: v for k, v in mod.__dict__.items()
+                if not k.startswith('__') and not callable(v)
+                and not isinstance(v, type(sys))
+            }
+        finally:
+            sys.modules.pop(mod_name, None)
+        bases = cfg_dict.pop('_base_', None)
+        if bases:
+            if isinstance(bases, str):
+                bases = [bases]
+            merged: Dict[str, Any] = {}
+            for base in bases:
+                base_path = os.path.join(os.path.dirname(filename), base)
+                Config._merge_into(merged,
+                                   Config._load_dict(os.path.abspath(base_path)))
+            Config._merge_into(merged, cfg_dict)
+            cfg_dict = merged
+        return cfg_dict
+
+    _load_counter = itertools.count()
+
+    @staticmethod
+    def _merge_into(dst: Dict[str, Any], src: Dict[str, Any]) -> None:
+        for k, v in src.items():
+            if isinstance(v, dict) and v.pop('_delete_', False):
+                dst[k] = v        # mmcv: replace wholesale, no merge
+            elif isinstance(v, dict) and isinstance(dst.get(k), dict):
+                Config._merge_into(dst[k], v)
+            else:
+                dst[k] = v
 
     @property
     def filename(self) -> Optional[str]:

@@ -77,6 +77,63 @@ class TestConfig:
         assert cfg.gpus == 8
         assert cfg.get('missing', 'd') == 'd'
 
+    def test_base_inheritance(self, tmp_path):
+        """mmcv _base_ semantics: recursive dict merge, deriving file
+        wins, lists replace wholesale, chained bases resolve."""
+        (tmp_path / 'grandbase.py').write_text(
+            'total_epochs = 100\noptimizer = dict(type="SGD", lr=0.1)\n')
+        (tmp_path / 'base.py').write_text(textwrap.dedent('''
+            _base_ = './grandbase.py'
+            model = dict(backbone=dict(depth=50, norm_eval=False),
+                         cls_head=dict(num_classes=400))
+            pipeline = [dict(type='A'), dict(type='B')]
+        '''))
+        (tmp_path / 'leaf.py').write_text(textwrap.dedent('''
+            _base_ = './base.py'
+            model = dict(backbone=dict(depth=101))
+            pipeline = [dict(type='C')]
+            optimizer = dict(lr=0.02)
+        '''))
+        cfg = Config.fromfile(str(tmp_path / 'leaf.py'))
+        assert cfg.model.backbone.depth == 101           # overridden
+        assert cfg.model.backbone.norm_eval is False     # inherited
+        assert cfg.model.cls_head.num_classes == 400     # inherited dict
+        assert [p['type'] for p in cfg.pipeline] == ['C']  # list replaced
+        assert cfg.optimizer.lr == 0.02                  # deep-merged
+        assert cfg.optimizer.type == 'SGD'               # from grandbase
+        assert cfg.total_epochs == 100                   # chained base
+        assert '_base_' not in cfg.keys()
+
+    def test_base_delete_key(self, tmp_path):
+        """``_delete_=True`` replaces a dict wholesale (mmcv semantics)."""
+        (tmp_path / 'base.py').write_text(
+            "data = dict(train=dict(type='RawFramesDataset',"
+            " filename_tmpl='img_{:05}.jpg'))\n")
+        (tmp_path / 'leaf.py').write_text(textwrap.dedent('''
+            _base_ = './base.py'
+            data = dict(train=dict(_delete_=True, type='VideoDataset'))
+        '''))
+        cfg = Config.fromfile(str(tmp_path / 'leaf.py'))
+        assert cfg.data.train.type == 'VideoDataset'
+        assert 'filename_tmpl' not in cfg.data.train
+        assert '_delete_' not in cfg.data.train
+
+    def test_base_missing_file_raises(self, tmp_path):
+        (tmp_path / 'leaf.py').write_text("_base_ = './nope.py'\nx = 1\n")
+        with pytest.raises(FileNotFoundError):
+            Config.fromfile(str(tmp_path / 'leaf.py'))
+
+    def test_same_basename_no_collision(self, tmp_path):
+        """Two configs with the same basename load independently."""
+        a = tmp_path / 'a'
+        b = tmp_path / 'b'
+        a.mkdir()
+        b.mkdir()
+        (a / 'cfg.py').write_text('x = 1\n')
+        (b / 'cfg.py').write_text('x = 2\n')
+        assert Config.fromfile(str(a / 'cfg.py')).x == 1
+        assert Config.fromfile(str(b / 'cfg.py')).x == 2
+
 
 class TestMetrics:
     def test_softmax_matches_reference_math(self):
