@@ -25,6 +25,12 @@ class RepeatDataset:
     def __len__(self):
         return self.times * self._ori_len
 
+    def set_epoch(self, epoch: int) -> None:
+        # forward per-epoch augmentation reseeding to the wrapped dataset
+        # (DataLoader.set_epoch only forwards if the attr exists)
+        if hasattr(self.dataset, 'set_epoch'):
+            self.dataset.set_epoch(epoch)
+
 
 def build_dataset(cfg: Dict[str, Any]):
     if cfg.get('type') == 'RepeatDataset':

@@ -47,10 +47,14 @@ class FrameSelector:
 
     def __init__(self, io_backend: str = 'disk', use_native: bool = True,
                  **kwargs):
+        from ..utils.file_client import FileClient
         self.io_backend = io_backend
-        self.use_native = use_native
+        self.file_client = FileClient(io_backend, **kwargs)
+        # The native C++ batch decoder reads from the local filesystem; it
+        # only applies when frames live on disk.
+        self.use_native = use_native and io_backend == 'disk'
         self._native = None
-        if use_native:
+        if self.use_native:
             try:
                 from .native_io import NativeImageLoader
                 self._native = NativeImageLoader()
@@ -63,7 +67,15 @@ class FrameSelector:
             img = self._native.load(filepath)
             if img is not None:
                 return img
-        img = _load_image_file(filepath, flag)
+        if self.io_backend == 'disk':
+            img = _load_image_file(filepath, flag)
+        else:
+            # reference wires FileClient into frame loading
+            # (loading.py:425-431): fetch bytes from the backend, decode here
+            try:
+                img = _imfrombytes(self.file_client.get(filepath), flag)
+            except Exception:
+                img = None
         if img is None:
             img = self.backup
         return img

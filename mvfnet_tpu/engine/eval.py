@@ -61,7 +61,23 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
             print(f'\r[eval] {bi + 1}/{n_batches}', end='', flush=True)
     if progress and rank == 0:
         print()
-    local = np.concatenate(out, axis=0) if out else np.zeros((0,))
+    if not out:
+        # pad=True guarantees every rank >=1 sample whenever the dataset is
+        # non-empty, so an empty shard can only mean an empty dataset — fail
+        # loudly instead of feeding a shapeless array to the reorder below.
+        if len(dataset) == 0:
+            return np.zeros((0, 0))
+        raise RuntimeError(
+            f'rank {rank}: produced no scores for a non-empty dataset '
+            f'({len(dataset)} videos, shard {len(sampler)})')
+    local = np.concatenate(out, axis=0)
+    # every rank must contribute an identical shard size or the strided
+    # (world, per_rank, K) reorder after allgather silently misassigns
+    # scores (extract_feat yields a fixed number of rows per video, so
+    # rows must be an exact multiple of the shard length)
+    assert local.shape[0] % len(sampler) == 0, (
+        f'shard size mismatch: got {local.shape[0]} rows for '
+        f'{len(sampler)} sampler indices')
 
     if world > 1:
         from jax.experimental import multihost_utils

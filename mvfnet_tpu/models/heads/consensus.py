@@ -30,17 +30,19 @@ class SimpleConsensus(nn.Module):
         return jnp.mean(x, axis=self.dim, keepdims=True)
 
 
-def _relation_subsets(num_frames: int, scale: int,
-                      max_subsets: int = 3) -> np.ndarray:
-    """All ordered frame index subsets of size ``scale``; the reference
-    samples min(3, len) of them per forward at train (``relation_consensus.py``
-    uses a fixed random subsample at __init__). We fix the first
-    ``max_subsets`` deterministic combinations for reproducibility."""
+def _all_relation_subsets(num_frames: int, scale: int) -> np.ndarray:
+    """All ordered frame-index subsets of size ``scale`` (the reference's
+    ``return_relationset``, ``relation_consensus.py:94-99``)."""
     combos = list(itertools.combinations(range(num_frames), scale))
-    if len(combos) > max_subsets:
-        idx = np.linspace(0, len(combos) - 1, max_subsets).astype(int)
-        combos = [combos[i] for i in idx]
     return np.array(combos, dtype=np.int32)
+
+
+def _deterministic_pick(n_combos: int, k: int) -> np.ndarray:
+    """Evenly-spaced subset choice used when no RNG is supplied (stable
+    eval / test behavior)."""
+    if n_combos <= k:
+        return np.arange(n_combos, dtype=np.int32)
+    return np.linspace(0, n_combos - 1, k).astype(np.int32)
 
 
 class RelationModule(nn.Module):
@@ -66,8 +68,17 @@ class RelationModule(nn.Module):
 
 
 class RelationModuleMultiScale(nn.Module):
-    """Multi-scale TRN: one relation MLP per scale in [num_frames..2],
-    each summed over up to 3 frame subsets."""
+    """Multi-scale TRN: one relation MLP per scale in [num_frames..2], each
+    summed over min(3, |subsets|) frame subsets.
+
+    Subset selection matches the reference (``relation_consensus.py:73-92``):
+    the first (full) scale always uses its single subset; every other scale
+    draws ``subsample_scales[i]`` subsets **randomly without replacement per
+    forward pass** (``np.random.choice`` in the reference's ``forward``).
+    Here the draw uses the flax RNG collection ``'subsets'`` when the caller
+    provides it (training); without that RNG the choice falls back to a
+    deterministic evenly-spaced pick, giving reproducible evaluation.
+    """
     img_feature_dim: int
     num_frames: int
     num_classes: int
@@ -76,8 +87,10 @@ class RelationModuleMultiScale(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
         # x: (B, num_frames, img_feature_dim)
         scales = list(range(self.num_frames, 1, -1))
+        stochastic = self.has_rng('subsets')
         out = None
         for si, scale in enumerate(scales):
             # one shared MLP per scale, applied to every sampled subset
@@ -87,15 +100,32 @@ class RelationModuleMultiScale(nn.Module):
             fc2 = nn.Dense(self.num_classes, dtype=self.dtype,
                            param_dtype=jnp.float32,
                            name=f'scale{scale}_fc2')
-            subsets = _relation_subsets(self.num_frames, scale)
-            acc = None
-            for subset in subsets:
-                feats = x[:, np.asarray(subset), :].reshape(
+            combos = _all_relation_subsets(self.num_frames, scale)
+            k = 1 if si == 0 else min(3, len(combos))
+
+            def relation(subset, fc1=fc1, fc2=fc2, scale=scale):
+                # subset: (scale,) int32 frame indices (may be traced)
+                feats = jnp.take(x, subset, axis=1).reshape(
                     x.shape[0], scale * self.img_feature_dim)
-                h = fc2(nn.relu(fc1(nn.relu(feats))))
-                acc = h if acc is None else acc + h
-                if si == 0:
-                    break  # full-scale relation has exactly one subset
+                return fc2(nn.relu(fc1(nn.relu(feats))))
+
+            if si == 0:
+                # the largest scale has exactly one subset (reference :75-79)
+                acc = relation(jnp.asarray(combos[0]))
+            elif stochastic and len(combos) > k:
+                pick = jax.random.choice(
+                    self.make_rng('subsets'), len(combos), (k,),
+                    replace=False)
+                subsets = jnp.take(jnp.asarray(combos), pick, axis=0)
+                acc = None
+                for j in range(k):
+                    h = relation(subsets[j])
+                    acc = h if acc is None else acc + h
+            else:
+                acc = None
+                for ci in _deterministic_pick(len(combos), k):
+                    h = relation(jnp.asarray(combos[int(ci)]))
+                    acc = h if acc is None else acc + h
             out = acc if out is None else out + acc
         return out[:, None, :]
 
