@@ -27,8 +27,8 @@ compute_dtype = 'bfloat16'
 root = os.environ.get('MVF_DATA_ROOT', '/data/')
 dataset_type = 'RawFramesDataset'
 data_root = root + 'ucf101_flow'
-ann_file_train = 'datalist/ucf101/train_flow_split1.txt'
-ann_file_val = 'datalist/ucf101/val_flow_split1.txt'
+ann_file_train = 'datalist/ucf101/train_flow_split_1.txt'
+ann_file_val = 'datalist/ucf101/val_flow_split_1.txt'
 
 img_norm_cfg = dict(mean=[123.675, 116.28, 103.53],
                     std=[58.395, 57.12, 57.375], to_rgb=True, device=True)
