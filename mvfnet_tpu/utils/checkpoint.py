@@ -180,7 +180,9 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
         parts = parts[1:]
         prefix: Tuple[str, ...] = ('backbone_mod',)
     elif parts[0] == 'cls_head':
-        if parts[1] in ('new_fc', 'new_cls'):
+        # new_fc: TSNClsHead (tsn_clshead.py:65-67); fc_cls: I3D/SlowFast
+        # heads; new_cls: the lazily-built fcn conv3d alias of new_fc
+        if parts[1] in ('new_fc', 'new_cls', 'fc_cls'):
             leaf = 'kernel' if parts[-1] == 'weight' else 'bias'
             return [('params', ('head_mod', 'fc', leaf))]
         return None
@@ -226,50 +228,79 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
     if parts[0] == 'bn1':
         return bn_paths(prefix + ('bn1',), parts[1])
 
+    def block_paths(base: Tuple[str, ...], rest):
+        """Residual-block internals, shared by 2D/I3D/SlowFast vocabularies."""
+        if rest[0] in ('conv1', 'conv2', 'conv3') and rest[1] == 'weight' \
+                and len(rest) == 2:
+            return [('params', base + (rest[0], 'kernel'))]
+        if rest[0] in ('bn1', 'bn2', 'bn3'):
+            return bn_paths(base + (rest[0],), rest[1])
+        if rest[0] == 'downsample':
+            if rest[1] == '0':
+                return [('params', base + ('downsample_conv', 'kernel'))]
+            return bn_paths(base + ('downsample_bn',), rest[2])
+        if rest[0] == 'conv1' and rest[1] == 'net':
+            # MVF-wrapped original 1x1 conv (MVF.py:57,138)
+            return [('params', base + ('conv1', 'kernel'))]
+        if rest[0] == 'conv1' and rest[1] in ('shift_conv', 'h_conv',
+                                              'w_conv'):
+            return [('params', base + ('MVF_0', rest[1]))]
+        if rest[0] == 'conv1' and rest[1] == 'bn':
+            leaf = rest[2]
+            mvf = base + ('MVF_0',)
+            if leaf == 'weight':
+                return [('params', mvf + ('bn_scale',))]
+            if leaf == 'bias':
+                return [('params', mvf + ('bn_bias',))]
+            if leaf == 'running_mean':
+                return [('batch_stats', mvf + ('bn_mean',))]
+            if leaf == 'running_var':
+                return [('batch_stats', mvf + ('bn_var',))]
+        return None
+
+    # SlowFast pathways (resnet_i3d_slowfast.py Pathway): our flax modules
+    # flatten 'slow_path.X' / 'fast_path.X' to 'slow_X' / 'fast_X' names
+    if parts[0] in ('slow_path', 'fast_path'):
+        p = parts[0][:4].rstrip('_')  # 'slow' | 'fast'
+        sub = parts[1:]
+        if sub[0] == 'conv1' and sub[-1] == 'weight' and len(sub) == 2:
+            return [('params', prefix + (f'{p}_conv1', 'kernel'))]
+        if sub[0] == 'bn1':
+            return bn_paths(prefix + (f'{p}_bn1',), sub[1])
+        if sub[0] == 'conv1_lateral' and sub[-1] == 'weight':
+            return [('params', prefix + (f'{p}_conv1_lateral', 'kernel'))]
+        m = re.match(r'layer(\d+)_lateral$', sub[0])
+        if m and sub[-1] == 'weight':
+            if m.group(1) == '4':
+                # constructed but never used by the reference forward
+                # (resnet_i3d_slowfast.py:504, `i != 3` guard) — no target
+                return None
+            return [('params',
+                     prefix + (f'{p}_layer{m.group(1)}_lateral', 'kernel'))]
+        m = re.match(r'layer(\d+)$', sub[0])
+        if m:
+            return block_paths(
+                prefix + (f'{p}_layer{m.group(1)}_{sub[1]}',), sub[2:])
+        return None
+
     m = re.match(r'layer(\d+)', parts[0])
     if not m:
         return None
-    block = f'layer{m.group(1)}_{parts[1]}'
-    rest = parts[2:]
-    base = prefix + (block,)
-
-    if rest[0] in ('conv1', 'conv2', 'conv3') and rest[1] == 'weight' \
-            and len(rest) == 2:
-        return [('params', base + (rest[0], 'kernel'))]
-    if rest[0] in ('bn1', 'bn2', 'bn3'):
-        return bn_paths(base + (rest[0],), rest[1])
-    if rest[0] == 'downsample':
-        if rest[1] == '0':
-            return [('params', base + ('downsample_conv', 'kernel'))]
-        return bn_paths(base + ('downsample_bn',), rest[2])
-    if rest[0] == 'conv1' and rest[1] == 'net':
-        # MVF-wrapped original 1x1 conv (MVF.py:57,138)
-        return [('params', base + ('conv1', 'kernel'))]
-    if rest[0] == 'conv1' and rest[1] in ('shift_conv', 'h_conv', 'w_conv'):
-        return [('params', base + ('MVF_0', rest[1]))]
-    if rest[0] == 'conv1' and rest[1] == 'bn':
-        leaf = rest[2]
-        mvf = base + ('MVF_0',)
-        if leaf == 'weight':
-            return [('params', mvf + ('bn_scale',))]
-        if leaf == 'bias':
-            return [('params', mvf + ('bn_bias',))]
-        if leaf == 'running_mean':
-            return [('batch_stats', mvf + ('bn_mean',))]
-        if leaf == 'running_var':
-            return [('batch_stats', mvf + ('bn_var',))]
-    return None
+    return block_paths(prefix + (f'layer{m.group(1)}_{parts[1]}',),
+                       parts[2:])
 
 
 def import_torch_weights(state_dict: Dict[str, np.ndarray],
                          variables: Dict[str, Any],
                          inflate_in_channels: Optional[int] = None,
-                         logger=None) -> Dict[str, Any]:
+                         logger=None,
+                         return_report: bool = False) -> Dict[str, Any]:
     """Non-strict import of a torch state dict into recognizer variables.
 
     Returns a new variables dict; logs missing/unexpected keys like the
     reference (``checkpoint.py:84-111``). ``inflate_in_channels`` triggers
-    Flow/RGBDiff stem inflation.
+    Flow/RGBDiff stem inflation. ``return_report`` additionally returns the
+    {applied, missing, unexpected, mismatched} key report for auditing.
     """
     logger = logger or get_root_logger()
     tree = {k: dict_to_plain(v) for k, v in variables.items()}
@@ -280,8 +311,13 @@ def import_torch_weights(state_dict: Dict[str, np.ndarray],
     for key, value in state_dict.items():
         candidates = _torch_key_to_flax(key)
         if candidates is None:
+            # deliberately-ignored reference keys: BN bookkeeping, the
+            # torchvision classifier, and SlowFast's layer4_lateral — a
+            # parameter the reference constructs but never uses in forward
+            # (resnet_i3d_slowfast.py:504 guards laterals with `i != 3`)
             if not key.endswith('num_batches_tracked') \
-                    and not key.startswith('fc.'):
+                    and not key.startswith('fc.') \
+                    and 'layer4_lateral' not in key:
                 unexpected.append(key)
             continue
         ok = False
@@ -337,6 +373,9 @@ def import_torch_weights(state_dict: Dict[str, np.ndarray],
         logger.info('params not found in source state_dict: %s',
                     ', '.join(missing[:20])
                     + (' ...' if len(missing) > 20 else ''))
+    if return_report:
+        return tree, dict(applied=applied, missing=missing,
+                          unexpected=unexpected, mismatched=mismatched)
     return tree
 
 
