@@ -18,7 +18,11 @@ before its first 1x1 conv. Semantics preserved exactly:
 
 BatchNorm is implemented inline (torch semantics: biased batch variance for
 normalization, unbiased for the running update) so that at inference the
-running stats fold into a single affine and feed the fused Pallas kernel.
+running stats fold into a single affine that XLA fuses into the surrounding
+convolutions. A fused Pallas kernel was built and measured in round 1; it
+lost to the XLA-fused jnp composition by ~26% end-to-end (a ``pallas_call``
+is a materialization boundary the compiler's fusion does not pay) and was
+deleted — see docs/DESIGN.md "Pallas study" for the measurements.
 """
 
 from __future__ import annotations
@@ -43,7 +47,6 @@ class MVF(nn.Module):
     use_hs: bool = True
     share: bool = False
     mode: str = 'THW'
-    impl: str = 'auto'  # 'jnp' | 'pallas' | 'auto'
     # concat=False returns only the transformed channel slice (NT,H,W,cs);
     # the caller then feeds a split pointwise conv and the untouched
     # channels never get rewritten to HBM (a ~14%-of-inference saving
@@ -104,24 +107,16 @@ class MVF(nn.Module):
                 y = (yf - mean) * inv + beta
                 y = hard_swish(y).astype(x.dtype)
             else:
-                # Fold running stats into one affine; fused single-pass path.
-                # Measured on v5e (R50 8x8 dense test): the jnp composition
-                # is ~26% faster end-to-end than the Pallas kernel — XLA
-                # fuses the shifted multiply-adds into the surrounding convs
-                # with no materialization boundary, which pallas_call cannot
-                # avoid. 'auto' therefore picks jnp; the kernel stays
-                # available via impl='pallas'.
+                # Fold running stats into one affine. XLA fuses the shifted
+                # multiply-adds + affine + hardswish into the surrounding
+                # convolutions with no materialization (measured ~26% faster
+                # end-to-end than a hand-written Pallas kernel, since
+                # deleted — docs/DESIGN.md "Pallas study").
                 scale = gamma / jnp.sqrt(ra_var.value + BN_EPS)
                 bias = beta - ra_mean.value * scale
-                use_pallas = self.impl == 'pallas'
-                if use_pallas:
-                    from ...ops.mvf_pallas import mvf_fused_pallas
-                    y = mvf_fused_pallas(xs, w_t, w_h, w_w, scale, bias,
-                                         mode=self.mode, use_hs=True)
-                else:
-                    y = mvf_conv_sum(xs, w_t, w_h, w_w, self.mode)
-                    y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
-                    y = hard_swish(y)
+                y = mvf_conv_sum(xs, w_t, w_h, w_w, self.mode)
+                y = y * scale.astype(y.dtype) + bias.astype(y.dtype)
+                y = hard_swish(y)
 
         if not self.concat:
             return y.astype(x.dtype).reshape(nt, h, w, cs)

@@ -9,8 +9,9 @@ untouched channels back, and hands the result to the wrapped 1x1 conv.
 Here the op is a pure function on channels-last ``(N, T, H, W, C)`` blocks
 (C minor = VPU-lane friendly). A depthwise 3-tap along an axis is expressed
 as three shifted multiply-adds — XLA fuses these into a single elementwise
-pass; a fused Pallas kernel (``mvf_pallas.py``) provides the hand-scheduled
-variant used on the inference hot path.
+pass (and further into the surrounding convolutions); a hand-written Pallas
+variant measured ~26% slower end-to-end and was deleted (docs/DESIGN.md,
+"Pallas study").
 
 Weight convention: each view's weights are ``(3, C)`` — ``w[0]`` multiplies
 the previous element (index-1), ``w[1]`` the center, ``w[2]`` the next,

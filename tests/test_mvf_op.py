@@ -1,5 +1,4 @@
-"""MVF op numerics: jnp composition vs a torch depthwise-Conv3d oracle, and
-the fused Pallas kernel (interpret mode) vs the jnp path.
+"""MVF op numerics: jnp composition vs a torch depthwise-Conv3d oracle.
 
 The torch oracle re-creates the reference MVF math
 (``/root/reference/codes/models/modules/MVF.py:104-138``) from torch
@@ -15,7 +14,6 @@ import torch.nn.functional as F
 import jax.numpy as jnp
 
 from mvfnet_tpu.ops.mvf import dw3, hard_swish, mvf_conv_sum
-from mvfnet_tpu.ops.mvf_pallas import mvf_fused_pallas, mvf_fused_reference
 
 N, T, H, W, C = 2, 4, 6, 5, 8
 
@@ -89,21 +87,7 @@ class TestHardSwish:
         np.testing.assert_allclose(ours, ref, rtol=1e-6, atol=1e-6)
 
 
-class TestFusedPallas:
-    @pytest.mark.parametrize('mode', ['T', 'TH', 'THW'])
-    def test_interpret_matches_reference(self, mode):
-        x = jnp.asarray(_rand((N, T, H, W, C), seed=7))
-        wt = jnp.asarray(_rand((3, C), seed=8))
-        wh = jnp.asarray(_rand((3, C), seed=9))
-        ww = jnp.asarray(_rand((3, C), seed=10))
-        scale = jnp.asarray(_rand((C,), seed=11))
-        bias = jnp.asarray(_rand((C,), seed=12))
-        got = mvf_fused_pallas(x, wt, wh, ww, scale, bias, mode=mode,
-                               interpret=True)
-        want = mvf_fused_reference(x, wt, wh, ww, scale, bias, mode=mode)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   rtol=1e-4, atol=1e-5)
-
+class TestFullMVF:
     def test_full_mvf_against_torch_oracle(self):
         """End-to-end MVF transform (split + taps + BN-eval + hswish +
         concat) vs the torch-composed oracle."""
