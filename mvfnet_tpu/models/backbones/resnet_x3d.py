@@ -19,12 +19,29 @@ from typing import Any, Dict, Optional, Sequence, Tuple, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from ...ops.mvf import hard_swish
+from ...ops.s2d import (depth_to_space, enter_kernel_2x2, kron4_1x1,
+                        space_to_depth)
 from ..builder import BACKBONES
-from ..common import SEModule, make_norm
+from ..common import (BN_EPS, BNStatsParam, ConvKernelParam, SEModule,
+                      make_norm)
 from .resnet_i3d import conv3d, max_pool3d
 
 Dtype = Any
+
+_DN3D = ('NTHWC', 'THWIO', 'NTHWC')
+
+
+def _bn_affine(v, scale, bias, mean, var, tile: int = 1):
+    """Eval-time BatchNorm as one affine; per-channel vectors tiled for
+    phase-major s2d layouts."""
+    inv = scale * jax.lax.rsqrt(var + BN_EPS)
+    a, c = inv, bias - mean * inv
+    if tile > 1:
+        a, c = jnp.tile(a, tile), jnp.tile(c, tile)
+    return v * a.astype(v.dtype) + c.astype(v.dtype)
 
 
 class X3DBottleneck(nn.Module):
@@ -42,12 +59,19 @@ class X3DBottleneck(nn.Module):
     norm_cfg: Optional[Dict] = None
     with_se: bool = True
     with_hs: bool = True
+    # Input/output in phase-major space-to-depth layout (4x channels at
+    # half spatial resolution); set by the backbone for thin stages at
+    # inference. Exact same math and parameters — see ops/s2d.py.
+    s2d: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False, norm_eval: bool = False):
         use_ra = (not train) or norm_eval
         act = hard_swish if self.with_hs else nn.relu
+        if self.s2d:
+            assert use_ra, 's2d path is eval-only (BN must fold)'
+            return self._forward_s2d(x, act)
         ss, ts = self.spatial_stride, self.temporal_stride
         if self.style == 'pytorch':
             c1_s, c2_s, c1_t, c2_t = 1, ss, 1, ts
@@ -97,6 +121,66 @@ class X3DBottleneck(nn.Module):
                 identity, use_running_average=use_ra)
         return nn.relu(out + identity)
 
+    def _forward_s2d(self, x, act):
+        """Block body in phase-major s2d layout (inference).
+
+        Same parameters and math as the standard path; only the layout
+        differs: the 1x1x1 convs run as dense matmuls over 4C lanes (the
+        thin-channel MXU-underfill fix — 9x measured on stage-1 conv1),
+        the depthwise 3x3x3 middle runs dense (one relayout, cheaper than
+        phase shuffling — measured), and conv3 re-enters s2d via a
+        2x2/s2 scatter kernel at zero relayout cost. The backbone only
+        selects this path for pytorch-style mobile-inflated blocks with
+        temporal stride 1 and even spatial dims.
+        """
+        ss = self.spatial_stride
+        cin, p_, cout = self.inplanes, self.planes, self.out_channels
+        dt = self.dtype or jnp.float32
+        k1 = ConvKernelParam((1, 1, 1, cin, p_), name='conv1')()
+        bn1 = BNStatsParam(p_, name='bn1')()
+        kdw = ConvKernelParam((3, 3, 3, 1, p_), name='conv2')()
+        bn2 = BNStatsParam(p_, name='bn2')()
+        k3 = ConvKernelParam((1, 1, 1, p_, cout), name='conv3')()
+        bn3 = BNStatsParam(cout, name='bn3')()
+
+        out = jax.lax.conv_general_dilated(
+            x.astype(dt), kron4_1x1(k1).astype(dt), (1, 1, 1), 'VALID',
+            dimension_numbers=_DN3D)
+        out = act(_bn_affine(out, *bn1, tile=4))
+        out = depth_to_space(out)
+        out = jax.lax.conv_general_dilated(
+            out, kdw.astype(dt), (1, ss, ss),
+            ((1, 1), (1, 1), (1, 1)), dimension_numbers=_DN3D,
+            feature_group_count=p_)
+        out = _bn_affine(out, *bn2)
+        if self.with_se:
+            out = SEModule(p_, 16, self.with_hs, name='se',
+                           dtype=self.dtype)(out)
+        out = act(out)
+        out = jax.lax.conv_general_dilated(
+            out, enter_kernel_2x2(k3).astype(dt), (1, 2, 2), 'VALID',
+            dimension_numbers=_DN3D)
+        out = _bn_affine(out, *bn3, tile=4)
+
+        if self.with_downsample:
+            kd = ConvKernelParam((1, 1, 1, cin, cout),
+                                 name='downsample_conv')()
+            bnd = BNStatsParam(cout, name='downsample_bn')()
+            if ss == 1:
+                identity = jax.lax.conv_general_dilated(
+                    x.astype(dt), kron4_1x1(kd).astype(dt), (1, 1, 1),
+                    'VALID', dimension_numbers=_DN3D)
+            else:
+                # stride-2 1x1 == pointwise conv on the phase-0 block,
+                # re-entering s2d at the new resolution
+                identity = jax.lax.conv_general_dilated(
+                    x[..., :cin].astype(dt), enter_kernel_2x2(kd).astype(dt),
+                    (1, 2, 2), 'VALID', dimension_numbers=_DN3D)
+            identity = _bn_affine(identity, *bnd, tile=4)
+        else:
+            identity = x
+        return nn.relu(out + identity)
+
 
 @BACKBONES.register_module
 class ResNet_X3D(nn.Module):
@@ -128,6 +212,15 @@ class ResNet_X3D(nn.Module):
     pretrained2d: bool = True
     with_cp: bool = False
     zero_init_residual: bool = True
+    # Stages to run in space-to-depth layout at inference (ops/s2d.py).
+    # MEASURED NEGATIVE RESULT, default off: isolated thin-channel ops
+    # looked ~5-9x faster in s2d form (stage-1 conv1: 0.69 -> 0.076 ms),
+    # but in the full graph XLA's layout assignment already handles the
+    # thin stages better than their isolated-op times suggest, and the
+    # re-layout *loses* end-to-end (271 clips/s -> 190 with stage 1,
+    # 170 with stages 1-2, v5e bf16 16x5 dense test). Kept as an exact,
+    # parameter-compatible, tested option; see docs/DESIGN.md.
+    s2d_stages: Sequence[int] = ()
     dtype: Dtype = jnp.float32
 
     arch_settings = {
@@ -161,6 +254,7 @@ class ResNet_X3D(nn.Module):
         inflate_freqs = (self.inflate_freq if not isinstance(
             self.inflate_freq, int) else (self.inflate_freq,) * 4)
         outs = []
+        in_s2d = False
         for i, num_blocks in enumerate(stage_blocks):
             inplanes = int(24 * rw * ru ** (i - 1)) if i > 0 else stem_ch
             planes = int(24 * rw * rb * 2 ** i)
@@ -168,6 +262,24 @@ class ResNet_X3D(nn.Module):
             stage_inflate = inflate_freqs[i]
             if isinstance(stage_inflate, int):
                 stage_inflate = (stage_inflate,) * num_blocks
+            dense_h = x.shape[2] * (2 if in_s2d else 1)
+            dense_w = x.shape[3] * (2 if in_s2d else 1)
+            stage_s2d = (
+                i in self.s2d_stages and use_ra
+                and self.style == 'pytorch'
+                and self.inflate_style == 'mobile'
+                and all(f == 1 for f in stage_inflate)
+                and self.dilations[i] == 1
+                and self.temporal_strides[i] == 1
+                and self.spatial_strides[i] in (1, 2)
+                and dense_h % (2 * self.spatial_strides[i]) == 0
+                and dense_w % (2 * self.spatial_strides[i]) == 0)
+            if stage_s2d and not in_s2d:
+                x = space_to_depth(x)
+                in_s2d = True
+            elif not stage_s2d and in_s2d:
+                x = depth_to_space(x)
+                in_s2d = False
             for j in range(num_blocks):
                 ss = self.spatial_strides[i] if j == 0 else 1
                 ts = self.temporal_strides[i] if j == 0 else 1
@@ -179,14 +291,18 @@ class ResNet_X3D(nn.Module):
                     dilation=self.dilations[i], with_downsample=with_ds,
                     style=self.style, if_inflate=stage_inflate[j] == 1,
                     inflate_style=self.inflate_style,
-                    norm_cfg=self.norm_cfg, dtype=self.dtype,
+                    norm_cfg=self.norm_cfg, s2d=stage_s2d, dtype=self.dtype,
                     name=f'layer{i + 1}_{j}',
                 )(x, train=train, norm_eval=self.norm_eval)
                 inplanes = out_ch
             if i in self.out_indices and i != self.num_stages - 1:
-                outs.append(x)
+                outs.append(depth_to_space(x) if in_s2d else x)
             if not self.no_pool2 and i == 0:
+                # temporal-only pool: phase blocks are independent lanes,
+                # so it applies identically in s2d layout
                 x = max_pool3d(x, (2, 1, 1), (2, 1, 1), (0, 0, 0))
+        if in_s2d:
+            x = depth_to_space(x)
 
         feat_dim = int(24 * rw * 2 ** (len(stage_blocks) - 1))
         x = conv3d(int(feat_dim * rb), (1, 1, 1), name='conv5',

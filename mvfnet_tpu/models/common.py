@@ -132,3 +132,41 @@ class SEModule(nn.Module):
         y = hard_sigmoid(y) if self.use_hs else nn.sigmoid(y)
         y = y.reshape(y.shape[:1] + (1,) * (x.ndim - 2) + y.shape[-1:])
         return x * y
+
+
+class ConvKernelParam(nn.Module):
+    """Declare a conv kernel parameter without running the convolution.
+
+    Used by re-layout compute paths (e.g. the X3D space-to-depth stages)
+    that consume a standard ``nn.Conv``'s kernel in a transformed form: the
+    variable tree ('<name>/kernel', lecun-normal init, fp32) is identical
+    to ``nn.Conv(name=<name>)``, so either path can initialize or load a
+    checkpoint and the other can apply it.
+    """
+    shape: Tuple[int, ...]
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param('kernel', nn.initializers.lecun_normal(),
+                          tuple(self.shape), jnp.float32)
+
+
+class BNStatsParam(nn.Module):
+    """Declare BatchNorm params/stats without running normalization.
+
+    Variable tree matches ``nn.BatchNorm(name=<name>)`` exactly (params
+    scale/bias, batch_stats mean/var, same initializers), for paths that
+    fold the eval-time affine into adjacent ops.
+    """
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        f = (self.features,)
+        scale = self.param('scale', nn.initializers.ones, f, jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, f, jnp.float32)
+        mean = self.variable('batch_stats', 'mean',
+                             lambda: jnp.zeros(f, jnp.float32))
+        var = self.variable('batch_stats', 'var',
+                            lambda: jnp.ones(f, jnp.float32))
+        return scale, bias, mean.value, var.value
