@@ -116,10 +116,13 @@ class ShardedSampler:
     def local_indices(self) -> List[int]:
         order = self._global_order()
         if self.pad:
-            # wrap-pad to total_size (reference sampler.py:69-72)
-            pad_n = self.total_size - len(order)
-            if pad_n > 0:
-                order = np.concatenate([order, order[:pad_n]])
+            # wrap-pad to total_size (reference sampler.py:69-72). np.tile
+            # (not order[:pad_n]) so the wrap survives world_size >
+            # dataset_len — a single-slice pad silently under-fills there
+            # and starves the highest ranks.
+            if self.total_size > len(order):
+                reps = -(-self.total_size // max(len(order), 1))
+                order = np.tile(order, reps)[:self.total_size]
             # rank-strided slice (reference sampler.py:74-76)
             return list(order[self.rank::self.world_size])
         return list(order[self.rank::self.world_size])

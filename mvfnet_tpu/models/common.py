@@ -37,7 +37,13 @@ def make_norm(norm_cfg: Optional[Dict[str, Any]],
     norm_type = cfg.pop('type', 'BN')
     cfg.pop('requires_grad', None)
     if norm_type in ('BN', 'BN3d', 'SyncBN'):
+        # use_fast_variance=False: torch computes batch variance as
+        # E[(x-mean)^2]; flax's default E[x^2]-E[x]^2 form cancels
+        # catastrophically for low-variance channels and makes SyncBN
+        # statistics diverge across device-mesh shardings (caught by
+        # tests/test_multichip_equivalence.py).
         return nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                            use_fast_variance=False,
                             dtype=dtype, param_dtype=jnp.float32, name=name,
                             **cfg)
     if norm_type == 'GN':

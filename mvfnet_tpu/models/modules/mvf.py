@@ -95,7 +95,9 @@ class MVF(nn.Module):
                 yf = y.astype(jnp.float32)
                 axes = (0, 1, 2, 3)
                 mean = jnp.mean(yf, axis=axes)
-                var = jnp.mean(jnp.square(yf), axis=axes) - jnp.square(mean)
+                # stable (torch) variance form: E[(x-mean)^2], not
+                # E[x^2]-E[x]^2 — see make_norm's use_fast_variance note
+                var = jnp.mean(jnp.square(yf - mean), axis=axes)
                 count = yf.size // cs
                 unbiased = var * (count / max(count - 1, 1))
                 if not self.is_initializing():

@@ -85,24 +85,20 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument('--frames', type=int, default=96)  # 12 videos x 8
     p.add_argument('--size', type=int, default=224)
+    p.add_argument('--stages', type=int, nargs='+', default=[1, 2, 3, 4],
+                   help='truncation depths to time (fwd+bwd)')
+    p.add_argument('--fwd-only', action='store_true')
+    p.add_argument('--norm-eval', action='store_true')
     args = p.parse_args()
-    print('backend:', jax.default_backend())
+    print('backend:', jax.default_backend(), flush=True)
 
-    prev = 0.0
-    stage_t = {}
-    for n in (1, 2, 3, 4):
-        t = backbone_grad_time(n, args.frames, args.size)
-        stage_t[n] = t
-        print(f'stem..layer{n} fwd+bwd: {t*1e3:8.3f} ms '
-              f'(layer{n} marginal: {(t-prev)*1e3:8.3f} ms)')
-        prev = t
-
-    t_fwd = backbone_grad_time(4, args.frames, args.size, backward=False)
-    print(f'full fwd only (train BN):  {t_fwd*1e3:8.3f} ms '
-          f'(bwd+stats = {(stage_t[4]-t_fwd)*1e3:.3f} ms)')
-    t_ne = backbone_grad_time(4, args.frames, args.size, norm_eval=True)
-    print(f'full fwd+bwd norm_eval:    {t_ne*1e3:8.3f} ms '
-          f'(BN batch-stats cost = {(stage_t[4]-t_ne)*1e3:.3f} ms)')
+    for n in args.stages:
+        t = backbone_grad_time(n, args.frames, args.size,
+                               norm_eval=args.norm_eval,
+                               backward=not args.fwd_only)
+        tag = ('fwd' if args.fwd_only else 'fwd+bwd') + \
+            (' norm_eval' if args.norm_eval else '')
+        print(f'stem..layer{n} {tag}: {t*1e3:8.3f} ms', flush=True)
 
 
 if __name__ == '__main__':
