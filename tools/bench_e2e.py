@@ -1,0 +1,193 @@
+#!/usr/bin/env python3
+"""End-to-end dense-test benchmark: real input pipeline -> real model.
+
+Closes the gap between "model is fast" (bench.py, device-resident random
+tensors) and "system is fast": JPEG rawframes on disk are decoded by the
+threaded loader (native libjpeg pool / cv2), sampled (10 clips x 8
+frames), resized + ThreeCrop'd, shipped uint8, normalized on device, and
+pushed through the flagship R50-MVF dense test — one wall-clock clips/s
+number, plus the host-only and device-only rates that bound it.
+
+Synthetic data: a rawframes tree of ``--videos`` videos x ``--frames``
+256x340 JPEGs written once under ``--data-dir`` (defaults to a cached
+/tmp tree), so the benchmark needs no dataset download (zero-egress).
+
+Prints ONE JSON line:
+  {"metric": "r50_8x8_dense_e2e_clips_per_sec", "value": ..., "unit":
+   "clips/sec/chip", "host_only_clips_per_sec": ..., "device_only_...": ,
+   "workers": N}
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+
+
+def make_tree(root: str, videos: int, frames: int) -> str:
+    import cv2
+    import numpy as np
+    ann = os.path.join(root, 'ann.txt')
+    if os.path.exists(ann):
+        return ann
+    rng = np.random.RandomState(0)
+    lines = []
+    for v in range(videos):
+        d = os.path.join(root, 'frames', f'vid{v:03d}')
+        os.makedirs(d, exist_ok=True)
+        # moderate-entropy frames: random blocks upscaled, JPEG-realistic
+        base = rng.randint(0, 255, (32, 43, 3), np.uint8)
+        for i in range(1, frames + 1):
+            img = cv2.resize(base, (340, 256), interpolation=cv2.INTER_CUBIC)
+            noise = rng.randint(0, 32, (256, 340, 3), np.uint8)
+            cv2.imwrite(os.path.join(d, f'img_{i:05}.jpg'),
+                        cv2.add(img, noise))
+        lines.append(f'vid{v:03d} {frames} {v % 10}')
+    with open(ann, 'w') as f:
+        f.write('\n'.join(lines))
+    return ann
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument('--videos', type=int, default=8)
+    p.add_argument('--frames', type=int, default=120)
+    p.add_argument('--workers', type=int, default=os.cpu_count() or 4)
+    p.add_argument('--data-dir', default='/tmp/mvfnet_e2e_tree')
+    p.add_argument('--host-only', action='store_true',
+                   help='skip the model; measure the input pipeline alone')
+    args = p.parse_args()
+
+    os.makedirs(args.data_dir, exist_ok=True)
+    ann = make_tree(args.data_dir, args.videos, args.frames)
+
+    import numpy as np
+
+    from mvfnet_tpu.data import build_dataset
+    from mvfnet_tpu.data.loader import DataLoader
+    from mvfnet_tpu.data.sampler import ShardedSampler
+
+    norm = dict(mean=[123.675, 116.28, 103.53],
+                std=[58.395, 57.12, 57.375], to_rgb=True, device=True)
+    pipeline = [
+        dict(type='SampleFrames', clip_len=8, frame_interval=8,
+             num_clips=10),
+        dict(type='FrameSelector'),
+        dict(type='Resize', scale=(float('inf'), 256), keep_ratio=True),
+        dict(type='ThreeCrop', crop_size=256),
+        dict(type='Flip', flip_ratio=0),
+        dict(type='Normalize', div_255=False, **norm),
+        dict(type='FormatShape', input_format='NHWC'),
+        dict(type='Collect', keys=['img_group', 'label'], meta_keys=[]),
+    ]
+    ds = build_dataset(dict(
+        type='RawFramesDataset', ann_file=ann,
+        data_root=os.path.join(args.data_dir, 'frames'),
+        pipeline=pipeline, test_mode=True, modality='RGB',
+        filename_tmpl='img_{:05}.jpg'))
+    views = 30  # ThreeCrop x 10 clips
+
+    def fresh_loader():
+        return DataLoader(ds, 1, ShardedSampler(len(ds), shuffle=False,
+                                                pad=True),
+                          num_workers=args.workers, drop_last=False)
+
+    # --- host-only rate (decode + aug + collate, no device) ---
+    for batch in fresh_loader():   # warm page cache / pools
+        break
+    t0 = time.perf_counter()
+    n = 0
+    for batch in fresh_loader():
+        n += 1
+    host_s = time.perf_counter() - t0
+    host_rate = n * views / host_s
+
+    result = {
+        'metric': 'r50_8x8_dense_e2e_clips_per_sec',
+        'unit': 'clips/sec/chip',
+        'workers': args.workers,
+        'videos': n,
+        'host_only_clips_per_sec': round(host_rate, 2),
+    }
+
+    if not args.host_only:
+        import jax
+        import jax.numpy as jnp
+        from mvfnet_tpu.models import build_recognizer
+        from mvfnet_tpu.ops.normalize import maybe_device_normalize
+
+        on_tpu = jax.default_backend() == 'tpu'
+        dtype = jnp.bfloat16 if on_tpu else jnp.float32
+        model = build_recognizer(
+            dict(type='Recognizer2D',
+                 backbone=dict(type='ResNet', depth=50, out_indices=(3,),
+                               norm_eval=False,
+                               norm_cfg=dict(type='BN', requires_grad=True)),
+                 cls_head=dict(type='TSNClsHead', spatial_size=-1,
+                               spatial_type='avg', dropout_ratio=0.5,
+                               in_channels=2048, init_std=0.01,
+                               num_classes=400),
+                 module_cfg=dict(type='MVF', n_segment=8, alpha=0.125,
+                                 mvf_freq=(0, 0, 1, 1), mode='THW'),
+                 fcn_testing=True, dtype=dtype),
+            test_cfg=dict(average_clips='prob'))
+
+        @jax.jit
+        def step(v, imgs):
+            imgs = maybe_device_normalize(imgs, norm)
+            return model.apply(v, imgs, None, return_loss=False)
+
+        first = next(iter(fresh_loader()))
+        imgs0 = jnp.asarray(np.asarray(first['img_group']))
+        variables = model.init(jax.random.PRNGKey(0), imgs0, None,
+                               return_loss=False, train=False)
+        np.asarray(step(variables, imgs0))  # compile
+
+        # device-only rate (same batch resident, loader excluded)
+        t0 = time.perf_counter()
+        reps = 10 if on_tpu else 1
+        for _ in range(reps):
+            s = step(variables, imgs0)
+        np.asarray(s)
+        dev_rate = reps * views / (time.perf_counter() - t0)
+        result['device_only_clips_per_sec'] = round(dev_rate, 2)
+
+        # host->device transfer rate for one uint8 video batch. On a real
+        # TPU host this is PCIe/DMA (GB/s, negligible); through this dev
+        # box's axon network tunnel it is ~MB/s and dominates the combined
+        # number — report it so the e2e figure is interpretable.
+        host_np = np.asarray(first['img_group'])
+        jax.block_until_ready(jax.device_put(host_np))
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(host_np))
+        dt = time.perf_counter() - t0
+        result['h2d_gbytes_per_sec'] = round(host_np.nbytes / dt / 1e9, 3)
+        result['transfer_limited'] = bool(
+            host_np.nbytes / dt < 1e9)  # < 1 GB/s: not a real TPU host
+
+        # end to end: loader feeds the jitted step, one transfer in flight
+        t0 = time.perf_counter()
+        n = 0
+        pending = None
+        for batch in fresh_loader():
+            arr = jax.device_put(np.asarray(batch['img_group']))
+            if pending is not None:
+                np.asarray(step(variables, pending))
+                n += 1
+            pending = arr
+        if pending is not None:
+            np.asarray(step(variables, pending))
+            n += 1
+        e2e_s = time.perf_counter() - t0
+        result['value'] = round(n * views / e2e_s, 2)
+    else:
+        result['value'] = round(host_rate, 2)
+
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()
