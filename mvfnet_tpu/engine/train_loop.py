@@ -253,9 +253,14 @@ class TrainLoop:
                              '(uint8 host->HBM transfer)')
         remat = bool(((cfg.get('model') or {}).get('backbone')
                       or {}).get('with_cp'))
+        # local_bn=True reproduces the reference's per-GPU (non-synced)
+        # BatchNorm training semantics (resnet.py:496-527); the default is
+        # global-batch (SyncBN) statistics — documented deviation.
+        local_bn = bool(cfg.get('local_bn', False)) and self.mesh is not None
         self.train_step = make_train_step(model, self.tx, mesh=self.mesh,
                                           input_dtype=input_dtype,
-                                          norm_cfg=norm_cfg, remat=remat)
+                                          norm_cfg=norm_cfg, remat=remat,
+                                          local_bn=local_bn)
         self.hooks: List[Hook] = []
         self.epoch = 0
         self.inner_iter = 0

@@ -80,11 +80,15 @@ def main():
     p.add_argument('--size', type=int, default=256)
     p.add_argument('--clip-len', type=int, default=None,
                    help='override clip length (CPU smoke)')
+    p.add_argument('--views', type=int, default=3,
+                   help='views per call (3 = one ThreeCrop group; larger '
+                        'values batch several groups per device call)')
     args = p.parse_args()
     for name in args.families:
         cfg_path, clip_len = FAMILIES[name]
         bench_family(name, cfg_path, args.clip_len or clip_len,
-                     tuple(args.k), args.reps, size=args.size)
+                     tuple(args.k), args.reps, size=args.size,
+                     views=args.views)
 
 
 if __name__ == '__main__':
