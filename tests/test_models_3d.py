@@ -142,3 +142,33 @@ class TestCoST:
         assert bb['layer4_1']['CoST_0']['shift_conv'].shape == (3, 3, 512, 512)
         score = model.apply(variables, imgs, None, return_loss=False)
         assert score.shape == (1, 4)
+
+
+class TestViewChunk:
+    def test_chunked_dense_test_matches_unchunked(self):
+        """test_cfg['view_chunk'] must not change scores — it only re-groups
+        the folded view batch into smaller backbone calls (a measured
+        throughput optimization for SlowFast-class models, DESIGN.md)."""
+        base = i3d_cfg()
+        m_full = build_recognizer(base, test_cfg=dict(average_clips='prob'))
+        m_chunk = build_recognizer(base, test_cfg=dict(average_clips='prob',
+                                                       view_chunk=2))
+        imgs = jax.random.normal(jax.random.PRNGKey(3),
+                                 (1, 6, 8, 32, 32, 3))
+        variables = m_full.init(jax.random.PRNGKey(0), imgs, None,
+                                return_loss=False, train=False)
+        s_full = np.asarray(m_full.apply(variables, imgs, None,
+                                         return_loss=False))
+        s_chunk = np.asarray(m_chunk.apply(variables, imgs, None,
+                                           return_loss=False))
+        np.testing.assert_allclose(s_chunk, s_full, rtol=2e-5, atol=1e-6)
+
+    def test_non_divisible_chunk_falls_back(self):
+        m = build_recognizer(i3d_cfg(), test_cfg=dict(average_clips='prob',
+                                                      view_chunk=4))
+        imgs = jax.random.normal(jax.random.PRNGKey(4),
+                                 (1, 6, 8, 32, 32, 3))
+        variables = m.init(jax.random.PRNGKey(0), imgs, None,
+                           return_loss=False, train=False)
+        score = m.apply(variables, imgs, None, return_loss=False)
+        assert score.shape == (1, 7)

@@ -23,7 +23,7 @@ FAMILIES = {
 
 
 def bench_family(name, cfg_path, clip_len, k_pair, reps,
-                 size=256, views=3):
+                 size=256, views=3, view_chunk=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,11 +34,16 @@ def bench_family(name, cfg_path, clip_len, k_pair, reps,
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     cfg = Config.fromfile(cfg_path)
     model_cfg = dict(cfg.model, dtype=dtype)
-    model = build_recognizer(model_cfg, test_cfg=dict(average_clips='prob'))
+    test_cfg = dict(average_clips='prob')
+    if view_chunk:
+        test_cfg['view_chunk'] = view_chunk
+    model = build_recognizer(model_cfg, test_cfg=test_cfg)
 
     shape = (1, views, clip_len, size, size, 3)  # one ThreeCrop group
-    rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    # generate on device: shipping a multi-GB host array through a dev
+    # box's network relay would dominate the benchmark setup time
+    x = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32))(
+        jax.random.PRNGKey(0))
     variables = model.init(jax.random.PRNGKey(0), x, None,
                            return_loss=False, train=False)
 
@@ -83,12 +88,15 @@ def main():
     p.add_argument('--views', type=int, default=3,
                    help='views per call (3 = one ThreeCrop group; larger '
                         'values batch several groups per device call)')
+    p.add_argument('--view-chunk', type=int, default=None,
+                   help='process the view batch in unrolled chunks of this '
+                        'many clips inside the compiled program')
     args = p.parse_args()
     for name in args.families:
         cfg_path, clip_len = FAMILIES[name]
         bench_family(name, cfg_path, args.clip_len or clip_len,
                      tuple(args.k), args.reps, size=args.size,
-                     views=args.views)
+                     views=args.views, view_chunk=args.view_chunk)
 
 
 if __name__ == '__main__':
