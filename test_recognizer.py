@@ -18,6 +18,10 @@ def parse_args():
     parser.add_argument('--average-clips', default='prob',
                         choices=['prob', 'score'])
     parser.add_argument('--videos_per_gpu', type=int, default=1)
+    parser.add_argument('--view_chunk', type=int, default=None,
+                        help='run the dense-test view batch as unrolled '
+                             'chunks of this many clips (overrides the '
+                             "config's test_cfg; see DESIGN.md)")
     parser.add_argument('--launcher', default='none',
                         choices=['none', 'env', 'slurm'])
     return parser.parse_args()
@@ -63,9 +67,11 @@ def main():
     if 'cls_head' in model_cfg:
         model_cfg['cls_head'] = dict(model_cfg['cls_head'],
                                      fcn_testing=args.fcn_testing)
-    model = build_recognizer(
-        model_cfg, train_cfg=None,
-        test_cfg=dict(average_clips=args.average_clips))
+    test_cfg = dict(cfg.get('test_cfg') or {})
+    test_cfg['average_clips'] = args.average_clips
+    if args.view_chunk:
+        test_cfg['view_chunk'] = args.view_chunk
+    model = build_recognizer(model_cfg, train_cfg=None, test_cfg=test_cfg)
 
     dataset = build_dataset(dict(cfg.data['test']))
     logger.info('test dataset: %d videos', len(dataset))
