@@ -160,3 +160,42 @@ class TestLocalBN:
         model, variables, tx, _, _ = _setup()
         with pytest.raises(ValueError):
             make_train_step(model, tx, mesh=None, local_bn=True)
+
+
+class TestLocalBNTrainLoop:
+    def test_cfg_flag_wires_into_loop(self, tmp_path):
+        """Top-level `local_bn = True` in the config reaches the compiled
+        step and trains (finite loss) on a 2-device mesh."""
+        import cv2
+        import os
+        from test_engine import tiny_cfg
+        from mvfnet_tpu.data import build_dataset
+        from mvfnet_tpu.engine import TrainLoop
+        from mvfnet_tpu.models import build_recognizer
+        from mvfnet_tpu.parallel import make_mesh
+
+        root = tmp_path / 'data'
+        root.mkdir()
+        rng = np.random.RandomState(5)
+        lines = []
+        for v in range(4):
+            d = root / f'v{v}'
+            d.mkdir()
+            for f in range(8):
+                cv2.imwrite(str(d / f'img_{f + 1:05}.jpg'),
+                            rng.randint(0, 255, (48, 48, 3), np.uint8))
+            lines.append(f'v{v} 8 {v % 2}')
+        ann = root / 'ann.txt'
+        ann.write_text('\n'.join(lines) + '\n')
+
+        cfg = tiny_cfg(root, ann, total_epochs=1)
+        cfg.local_bn = True
+        cfg.work_dir = str(tmp_path / 'work')
+        model = build_recognizer(dict(cfg.model), test_cfg=dict(cfg.test_cfg))
+        dataset = build_dataset(dict(cfg.data['train']))
+        mesh = make_mesh(jax.devices()[:2])
+        loop = TrainLoop(model, dataset, cfg, work_dir=cfg.work_dir,
+                         mesh=mesh)
+        state = loop.run()
+        assert int(state.step) == 1
+        assert os.path.exists(cfg.work_dir)
