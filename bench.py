@@ -20,6 +20,7 @@ the per-chip clips/sec of the V100 reference, estimated at 170 clips/s
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import time
 
@@ -29,6 +30,13 @@ REPS = 3
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quant', choices=['int8', 'int8_static'], default=None,
+                    help='experimental eval-only int8 conv path; _static '
+                         'uses init-calibrated activation scales '
+                         '(DESIGN.md "Int8 dense-test"); default bf16')
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -43,7 +51,7 @@ def main():
         dict(
             type='Recognizer2D',
             backbone=dict(type='ResNet', depth=50, out_indices=(3,),
-                          norm_eval=False,
+                          norm_eval=False, quant=args.quant,
                           norm_cfg=dict(type='BN', requires_grad=True)),
             cls_head=dict(type='TSNClsHead', spatial_size=-1,
                           spatial_type='avg', dropout_ratio=0.5,
@@ -90,12 +98,15 @@ def main():
     per_video = max((t2 - t1) / (k2 - k1), 1e-9)
     clips_per_sec = views / per_video
 
-    print(json.dumps({
+    out = {
         'metric': 'r50_8x8_dense_test_clips_per_sec_per_chip',
         'value': round(clips_per_sec, 2),
         'unit': 'clips/sec/chip',
         'vs_baseline': round(clips_per_sec / V100_BASELINE_CLIPS_PER_SEC, 3),
-    }))
+    }
+    if args.quant:
+        out['quant'] = args.quant
+    print(json.dumps(out))
 
 
 if __name__ == '__main__':

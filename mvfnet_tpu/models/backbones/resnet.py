@@ -48,6 +48,7 @@ class BasicBlock(nn.Module):
     avg_down: bool = False
     temporal_cfg: Optional[Dict] = None
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     expansion = 1
 
@@ -62,18 +63,19 @@ class BasicBlock(nn.Module):
                                   self.dtype)(out, train=train)
         out = conv2d(self.planes, 3, stride=self.stride, padding=self.dilation,
                      dilation=self.dilation, name='conv1',
-                     dtype=self.dtype)(out)
+                     dtype=self.dtype, quant=self.quant)(out)
         out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
         out = conv2d(self.planes, 3, padding=1, name='conv2',
-                     dtype=self.dtype)(out)
+                     dtype=self.dtype, quant=self.quant)(out)
         out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
             out, use_running_average=use_ra)
         if self.with_downsample:
             identity = _downsample(x, self.planes * self.expansion,
                                    self.stride, self.dilation, self.avg_down,
-                                   self.norm_cfg, use_ra, self.dtype)
+                                   self.norm_cfg, use_ra, self.dtype,
+                                   quant=self.quant)
         out = out + identity
         return nn.relu(out)
 
@@ -97,6 +99,7 @@ class Bottleneck(nn.Module):
     avd_first: bool = False
     temporal_cfg: Optional[Dict] = None
     dtype: Dtype = jnp.float32
+    quant: Optional[str] = None
 
     expansion = 4
 
@@ -126,21 +129,23 @@ class Bottleneck(nn.Module):
             cs = int(self.inplanes * cfg.get('alpha', 0.5))
             if cs == 0:
                 out = conv2d(self.planes, 1, stride=conv1_stride,
-                             name='conv1', dtype=self.dtype)(x)
+                             name='conv1', dtype=self.dtype,
+                             quant=self.quant)(x)
             else:
                 y = MVF(in_channels=self.inplanes, concat=False,
                         dtype=self.dtype, **cfg)(x, train=train)
                 out = _SplitPointwiseConv(
                     features=self.planes, split=cs,
                     in_channels=self.inplanes, stride=conv1_stride,
-                    dtype=self.dtype, name='conv1')(y, x[..., cs:])
+                    dtype=self.dtype, quant=self.quant,
+                    name='conv1')(y, x[..., cs:])
         else:
             out = x
             if self.temporal_cfg and not cost_cfg:
                 out = _build_temporal(self.temporal_cfg, self.inplanes,
                                       self.dtype)(out, train=train)
             out = conv2d(self.planes, 1, stride=conv1_stride, name='conv1',
-                         dtype=self.dtype)(out)
+                         dtype=self.dtype, quant=self.quant)(out)
         out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
@@ -153,20 +158,22 @@ class Bottleneck(nn.Module):
         else:
             out = conv2d(self.planes, 3, stride=conv2_stride,
                          padding=self.dilation, dilation=self.dilation,
-                         name='conv2', dtype=self.dtype)(out)
+                         name='conv2', dtype=self.dtype,
+                         quant=self.quant)(out)
         out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
         if avd and not self.avd_first:
             out = avg_pool_torch(out, 3, self.stride, padding=1)
         out = conv2d(self.planes * self.expansion, 1, name='conv3',
-                     dtype=self.dtype)(out)
+                     dtype=self.dtype, quant=self.quant)(out)
         out = make_norm(self.norm_cfg, name='bn3', dtype=self.dtype)(
             out, use_running_average=use_ra)
         if self.with_downsample:
             identity = _downsample(x, self.planes * self.expansion,
                                    self.stride, self.dilation, self.avg_down,
-                                   self.norm_cfg, use_ra, self.dtype)
+                                   self.norm_cfg, use_ra, self.dtype,
+                                   quant=self.quant)
         out = out + identity
         return nn.relu(out)
 
@@ -186,15 +193,40 @@ class _SplitPointwiseConv(nn.Module):
     in_channels: int
     stride: int = 1
     dtype: Any = jnp.float32
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, y_first: jnp.ndarray, x_rest: jnp.ndarray):
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             (1, 1, self.in_channels, self.features), jnp.float32)
-        k = kernel.astype(self.dtype) if self.dtype else kernel
         dn = ('NHWC', 'HWIO', 'NHWC')
         s = (self.stride, self.stride)
+
+        if self.quant in ('int8', 'int8_static'):
+            from ..common import _act_quant
+            # shared per-output-channel weight scale; each input group gets
+            # its own per-tensor activation scale (the sum stays exact in
+            # the rescaled domain because a 1x1 conv is linear)
+            sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0,
+                             1e-12)
+            kq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+            static = self.quant == 'int8_static'
+
+            def qconv(v, kk, stat):
+                sx, vq = _act_quant(self, stat, v.astype(jnp.float32),
+                                    static)
+                y = jax.lax.conv_general_dilated(
+                    vq, kk, window_strides=s, padding='VALID',
+                    dimension_numbers=dn,
+                    preferred_element_type=jnp.int32)
+                return y.astype(jnp.float32) * (sx * sw)
+
+            out = qconv(y_first, kq[:, :, :self.split], 'act_amax_y') \
+                + qconv(x_rest, kq[:, :, self.split:], 'act_amax_x')
+            return out.astype(self.dtype)
+
+        k = kernel.astype(self.dtype) if self.dtype else kernel
 
         def conv(v, kk):
             return jax.lax.conv_general_dilated(
@@ -245,17 +277,17 @@ class _SpaceToDepthStem(nn.Module):
 
 
 def _downsample(x, out_ch, stride, dilation, avg_down, norm_cfg, use_ra,
-                dtype):
+                dtype, quant=None):
     """Shortcut projection (reference ``make_res_layer``, ``resnet.py:279-304``)."""
     if avg_down:
         if dilation == 1:
             x = avg_pool_torch(x, stride, stride, ceil_mode=True,
                                count_include_pad=False)
         out = conv2d(out_ch, 1, stride=1, name='downsample_conv',
-                     dtype=dtype)(x)
+                     dtype=dtype, quant=quant)(x)
     else:
         out = conv2d(out_ch, 1, stride=stride, name='downsample_conv',
-                     dtype=dtype)(x)
+                     dtype=dtype, quant=quant)(x)
     return make_norm(norm_cfg, name='downsample_bn', dtype=dtype)(
         out, use_running_average=use_ra)
 
@@ -310,6 +342,12 @@ class ResNet(nn.Module):
     pretrained: Optional[str] = None   # resolved by the checkpoint loader
     with_cp: bool = False              # remat; applied per res-stage
     dtype: Dtype = jnp.float32
+    # quant='int8': EVAL-ONLY int8 MXU path for every block conv (stem and
+    # temporal modules stay in compute dtype). Same parameter tree — any
+    # checkpoint loads unchanged; weights are re-quantized per call from
+    # the fp32 params. See DESIGN.md "Int8 dense-test" for measurements
+    # and the numeric-error contract (tests/test_quant_int8.py).
+    quant: Optional[str] = None
 
     arch_settings = {
         18: (BasicBlock, (2, 2, 2, 2)),
@@ -325,6 +363,10 @@ class ResNet(nn.Module):
             raise KeyError(f'invalid depth {self.depth} for resnet')
         block_cls, stage_blocks = self.arch_settings[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
+        if self.quant and train:
+            raise ValueError('quant={!r} is an eval-only path; gradients '
+                             'through int8 rounding are meaningless'
+                             .format(self.quant))
         use_ra = (not train) or self.norm_eval
 
         if self.deep_stem:
@@ -383,6 +425,7 @@ class ResNet(nn.Module):
                     avg_down=self.avg_down,
                     temporal_cfg=block_temporal,
                     dtype=self.dtype,
+                    quant=self.quant,
                     name=f'layer{i + 1}_{j}',
                 )
                 if block_cls is Bottleneck:

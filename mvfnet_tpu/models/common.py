@@ -62,8 +62,12 @@ def conv2d(features: int,
            dilation: int = 1,
            use_bias: bool = False,
            name: Optional[str] = None,
-           dtype: Dtype = jnp.float32) -> nn.Conv:
-    """torch-semantics Conv2d on NHWC input (explicit symmetric padding)."""
+           dtype: Dtype = jnp.float32,
+           quant: Optional[str] = None) -> nn.Module:
+    """torch-semantics Conv2d on NHWC input (explicit symmetric padding).
+
+    ``quant='int8'`` swaps in :class:`QuantConv2d` (same param tree) —
+    eval-only int8 MXU path, see that class's docstring."""
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     if isinstance(stride, int):
@@ -72,11 +76,109 @@ def conv2d(features: int,
         padding = ((padding, padding), (padding, padding))
     elif isinstance(padding, tuple) and isinstance(padding[0], int):
         padding = ((padding[0], padding[0]), (padding[1], padding[1]))
+    if quant in ('int8', 'int8_static'):
+        return QuantConv2d(features=features, kernel_size=kernel_size,
+                           strides=stride, padding=padding,
+                           dilation=dilation, use_bias=use_bias,
+                           static=(quant == 'int8_static'),
+                           dtype=dtype, name=name)
+    if quant is not None:
+        raise ValueError(f'unknown quant mode {quant!r}')
     return nn.Conv(features=features, kernel_size=kernel_size,
                    strides=stride, padding=padding,
                    kernel_dilation=(dilation, dilation),
                    use_bias=use_bias, dtype=dtype, param_dtype=jnp.float32,
                    name=name)
+
+
+def _act_quant(mod: nn.Module, stat_name: str, xf: jnp.ndarray,
+               static: bool):
+    """Shared activation-quantization helper for int8 conv modules.
+
+    Returns ``(scale, int8_tensor)``. Records/reads the per-tensor abs-max
+    in the ``quant_stats`` collection (see :class:`QuantConv2d`)."""
+    if mod.is_mutable_collection('quant_stats'):
+        # init / calibration pass: measure and record (both modes)
+        qs = mod.variable('quant_stats', stat_name,
+                          lambda: jnp.zeros((), jnp.float32))
+        amax = jnp.max(jnp.abs(xf))
+        qs.value = jnp.maximum(qs.value, amax)
+        sx = jnp.maximum(amax / 127.0, 1e-12)
+    elif static:
+        if not mod.has_variable('quant_stats', stat_name):
+            raise ValueError(
+                "quant='int8_static' needs calibrated activation scales: "
+                "init (or apply with mutable=['quant_stats']) on "
+                'representative batches first, and pass the resulting '
+                "'quant_stats' collection in the variables")
+        qs = mod.variable('quant_stats', stat_name,
+                          lambda: jnp.zeros((), jnp.float32))
+        sx = jnp.maximum(qs.value / 127.0, 1e-12)
+    else:
+        # dynamic mode needs no stored state — works with plain fp32
+        # checkpoint variables that carry no 'quant_stats' collection
+        sx = jnp.maximum(jnp.max(jnp.abs(xf)) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(xf / sx), -127, 127).astype(jnp.int8)
+    return sx, xq
+
+
+class QuantConv2d(nn.Module):
+    """Int8-quantized eval conv, checkpoint-compatible with ``nn.Conv``.
+
+    v5e's int8 MXU path measured 1.7-2.5x the bf16 conv emitter at this
+    model family's shapes (DESIGN.md "Int8 dense-test" table). Scheme:
+    per-output-channel symmetric weight scales (computed from the fp32
+    ``kernel`` param, so any imported checkpoint works unchanged) and a
+    per-tensor symmetric activation scale; conv accumulates in int32 and
+    the output rescales to the compute dtype, where BN/relu fuse as usual.
+
+    Activation scale, two modes:
+    - dynamic (``static=False``): ``max|x|`` computed per call — no
+      calibration needed, but the reduction costs extra HBM passes per
+      conv (measured 26% e2e regression vs bf16). Whenever the
+      ``quant_stats`` collection is mutable (init, or an explicit
+      calibration ``apply``), the running max is recorded there.
+    - static (``static=True``): reads the recorded ``act_amax`` — no
+      reduction on the hot path. Calibrate by initializing (or applying
+      with ``mutable=['quant_stats']``) on representative batches first.
+
+    Eval-only — gradients through the rounding are meaningless and the
+    owning backbone must reject train mode.
+    """
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = ((0, 0), (0, 0))
+    dilation: int = 1
+    use_bias: bool = False
+    static: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            self.kernel_size + (in_ch, self.features), jnp.float32)
+        # per-output-channel symmetric weight quantization
+        sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
+        sw = jnp.maximum(sw, 1e-12)
+        wq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+        # per-tensor symmetric activation quantization
+        xf = x.astype(jnp.float32)
+        sx, xq = _act_quant(self, 'act_amax', xf, self.static)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, self.strides, self.padding,
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (sx * sw)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias
+        return out.astype(self.dtype)
 
 
 def max_pool_same_as_torch(x: jnp.ndarray, window: int, stride: int,

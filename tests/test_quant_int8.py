@@ -1,0 +1,110 @@
+"""Experimental eval-only int8 conv path (``backbone.quant='int8'``).
+
+Contract pinned here:
+- same parameter tree as the fp32/bf16 model (any checkpoint loads
+  unchanged; weights re-quantize per call from the fp32 params),
+- bounded numeric drift vs the exact path (per-output-channel weight
+  scales + dynamic per-tensor activation scales measured ~1% relative
+  logit RMS on a random-init R50; asserted at 5%),
+- train mode is rejected (gradients through rounding are meaningless).
+
+Measurements motivating the path: DESIGN.md "Int8 dense-test" (v5e int8
+conv emitter 1.7-2.5x bf16 at this family's shapes).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mvfnet_tpu.models import build_recognizer
+
+
+def _model(quant, depth=50, num_classes=40):
+    in_ch = {18: 512, 50: 2048}[depth]
+    return build_recognizer(
+        dict(type='Recognizer2D',
+             backbone=dict(type='ResNet', depth=depth, out_indices=(3,),
+                           quant=quant),
+             cls_head=dict(type='TSNClsHead', spatial_size=-1,
+                           spatial_type='avg', dropout_ratio=0.5,
+                           in_channels=in_ch, init_std=0.01,
+                           num_classes=num_classes),
+             module_cfg=dict(type='MVF', n_segment=4, alpha=0.125,
+                             mvf_freq=(0, 0, 1, 1), mode='THW'),
+             fcn_testing=True),
+        test_cfg=dict(average_clips=None))
+
+
+class TestQuantInt8:
+
+    def test_same_param_tree_and_bounded_logit_drift(self):
+        m0, m8 = _model(None), _model('int8')
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64, 64, 3)) * 2.0
+        v = m0.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                    train=False)
+        v8 = m8.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                     train=False)
+        # same *param* tree (checkpoint compatibility); the int8 model may
+        # additionally carry a 'quant_stats' calibration collection
+        assert (jax.tree_util.tree_structure(v['params'])
+                == jax.tree_util.tree_structure(v8['params']))
+        for a, b in zip(jax.tree_util.tree_leaves(v['params']),
+                        jax.tree_util.tree_leaves(v8['params'])):
+            assert a.shape == b.shape
+        # the SAME variables drive both paths
+        s0 = np.asarray(m0.apply(v, x, None, return_loss=False))
+        s8 = np.asarray(m8.apply(v, x, None, return_loss=False))
+        rms = np.sqrt(((s0 - s8) ** 2).mean())
+        ref = np.sqrt((s0 ** 2).mean())
+        assert rms < 0.05 * ref, (rms, ref)
+        # random-init R50 at this error level must preserve rankings
+        assert (s0.argmax(-1) == s8.argmax(-1)).all()
+
+    def test_basicblock_path_and_downsample(self):
+        m0, m8 = _model(None, depth=18), _model('int8', depth=18)
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 48, 48, 3))
+        v = m0.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                    train=False)
+        s0 = np.asarray(m0.apply(v, x, None, return_loss=False))
+        s8 = np.asarray(m8.apply(v, x, None, return_loss=False))
+        rms = np.sqrt(((s0 - s8) ** 2).mean())
+        assert rms < 0.05 * np.sqrt((s0 ** 2).mean()) + 1e-6, rms
+
+    def test_train_mode_rejected(self):
+        m8 = _model('int8')
+        x = jnp.zeros((1, 4, 32, 32, 3))
+        with pytest.raises(ValueError, match='eval-only'):
+            m8.init(jax.random.PRNGKey(0), x, jnp.zeros((1,), jnp.int32),
+                    return_loss=True, train=True)
+
+    def test_unknown_quant_mode_rejected(self):
+        from mvfnet_tpu.models.common import conv2d
+        with pytest.raises(ValueError, match='unknown quant'):
+            conv2d(8, 3, quant='fp4')
+
+    def test_static_mode_calibrates_at_init_and_matches_dynamic(self):
+        """int8_static: init records per-conv activation abs-max into the
+        `quant_stats` collection; immutable apply reads them (no reduction
+        on the hot path) and matches the dynamic path on the calibration
+        batch."""
+        m0 = _model(None)
+        md = _model('int8')
+        ms = _model('int8_static')
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 64, 64, 3)) * 2.0
+        v0 = m0.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                     train=False)
+        vs = ms.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                     train=False)
+        assert 'quant_stats' in vs
+        amaxes = jax.tree_util.tree_leaves(vs['quant_stats'])
+        assert all(float(a) > 0 for a in amaxes)
+        mixed = {'params': v0['params'], 'batch_stats': v0['batch_stats'],
+                 'quant_stats': vs['quant_stats']}
+        s0 = np.asarray(m0.apply(v0, x, None, return_loss=False))
+        sd = np.asarray(md.apply(v0, x, None, return_loss=False))
+        ss = np.asarray(ms.apply(mixed, x, None, return_loss=False))
+        # on the calibration batch, static scales == dynamic scales
+        np.testing.assert_allclose(ss, sd, rtol=1e-4, atol=1e-5)
+        rms = np.sqrt(((s0 - ss) ** 2).mean())
+        assert rms < 0.05 * np.sqrt((s0 ** 2).mean()), rms
