@@ -22,6 +22,9 @@ def parse_args():
                         help='run the dense-test view batch as unrolled '
                              'chunks of this many clips (overrides the '
                              "config's test_cfg; see DESIGN.md)")
+    parser.add_argument('--calib_videos', type=int, default=8,
+                        help="videos used to calibrate activation scales "
+                             "when backbone.quant='int8_static'")
     parser.add_argument('--launcher', default='none',
                         choices=['none', 'env', 'slurm'])
     return parser.parse_args()
@@ -42,7 +45,14 @@ def load_model_variables(model, checkpoint, init_shape, logger):
         from flax import serialization
         from mvfnet_tpu.utils.checkpoint import load_checkpoint
         variables_sd, _, _ = load_checkpoint(checkpoint)
-        variables = serialization.from_state_dict(variables, variables_sd)
+        # restore collection-by-collection: the model may carry collections
+        # absent from the checkpoint (e.g. 'quant_stats' calibration state
+        # for quant='int8_static'), which keep their freshly-initialized
+        # values and are re-calibrated downstream
+        variables = {
+            k: (serialization.from_state_dict(v, variables_sd[k])
+                if k in variables_sd else v)
+            for k, v in variables.items()}
     return variables
 
 
@@ -82,14 +92,32 @@ def main():
                                      logger)
 
     from mvfnet_tpu.engine.train_loop import _device_norm_cfg
+    norm_cfg = _device_norm_cfg(cfg.data['test'].get('pipeline'))
+
+    if (cfg.model.get('backbone') or {}).get('quant') == 'int8_static':
+        # record per-conv activation abs-max into 'quant_stats' (DESIGN.md
+        # "Int8 dense-test"); the dense-test path then reads the static
+        # scales with no reduction on the hot path
+        import jax.numpy as jnp
+        import numpy as np
+        from mvfnet_tpu.ops.normalize import maybe_device_normalize
+        n_cal = min(args.calib_videos, len(dataset))
+        logger.info('calibrating int8 activation scales on %d videos',
+                    n_cal)
+        for i in range(n_cal):
+            sample = dataset[i]
+            imgs = jnp.asarray(np.asarray(sample['img_group'])[None])
+            imgs = maybe_device_normalize(imgs, norm_cfg)
+            _, mut = model.apply(variables, imgs, None, return_loss=False,
+                                 mutable=['quant_stats'])
+            variables = dict(variables, **mut)
+
     mesh = make_mesh()
     scores = evaluate_dataset(model, variables, dataset, mesh=mesh,
                               videos_per_gpu=args.videos_per_gpu,
                               workers_per_gpu=cfg.data.get('workers_per_gpu',
                                                            4),
-                              progress=True,
-                              norm_cfg=_device_norm_cfg(
-                                  cfg.data['test'].get('pipeline')))
+                              progress=True, norm_cfg=norm_cfg)
 
     import jax
     if jax.process_index() == 0:

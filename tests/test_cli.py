@@ -143,3 +143,18 @@ class TestCLIWorkflow:
         # avg-pool TSN head; scores must agree, not just both run
         np.testing.assert_allclose(fcn_scores, pooled_scores,
                                    rtol=1e-4, atol=1e-5)
+
+        # experimental int8_static eval: the CLI calibrates activation
+        # scales on dataset batches, then scores stay close to the exact
+        # path (same checkpoint, DESIGN.md "Int8 dense-test")
+        qcfg = ws / 'cfg_quant.py'
+        qcfg.write_text("_base_ = './cfg.py'\n"
+                        "model = dict(backbone=dict(quant='int8_static'))\n")
+        q_pkl = ws / 'scores_q.pkl'
+        r = run_cli('test_recognizer.py', str(qcfg), str(ckpt),
+                    '--out', str(q_pkl), '--calib_videos', '2')
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert 'calibrating int8' in (r.stdout + r.stderr)
+        with open(q_pkl, 'rb') as f:
+            q_scores = np.asarray(pickle.load(f))
+        np.testing.assert_allclose(q_scores, pooled_scores, atol=0.05)
