@@ -35,6 +35,8 @@ def main():
                     help='experimental eval-only int8 conv path; _static '
                          'uses init-calibrated activation scales '
                          '(DESIGN.md "Int8 dense-test"); default bf16')
+    ap.add_argument('--quant-stages', type=int, nargs=4, default=(1, 1, 1, 1),
+                    help='per-stage 0/1 mask of which res-stages quantize')
     args = ap.parse_args()
 
     import jax
@@ -52,6 +54,7 @@ def main():
             type='Recognizer2D',
             backbone=dict(type='ResNet', depth=50, out_indices=(3,),
                           norm_eval=False, quant=args.quant,
+                          quant_stages=tuple(args.quant_stages),
                           norm_cfg=dict(type='BN', requires_grad=True)),
             cls_head=dict(type='TSNClsHead', spatial_size=-1,
                           spatial_type='avg', dropout_ratio=0.5,

@@ -342,12 +342,15 @@ class ResNet(nn.Module):
     pretrained: Optional[str] = None   # resolved by the checkpoint loader
     with_cp: bool = False              # remat; applied per res-stage
     dtype: Dtype = jnp.float32
-    # quant='int8': EVAL-ONLY int8 MXU path for every block conv (stem and
-    # temporal modules stay in compute dtype). Same parameter tree — any
-    # checkpoint loads unchanged; weights are re-quantized per call from
-    # the fp32 params. See DESIGN.md "Int8 dense-test" for measurements
-    # and the numeric-error contract (tests/test_quant_int8.py).
+    # quant='int8'|'int8_static': EVAL-ONLY int8 MXU path for block convs
+    # (stem and temporal modules stay in compute dtype). Same parameter
+    # tree — any checkpoint loads unchanged; weights are re-quantized per
+    # call from the fp32 params. quant_stages selects which res-stages
+    # quantize (per-stage 0/1 mask like temporal_freq). See DESIGN.md
+    # "Int8 dense-test" for measurements and the numeric-error contract
+    # (tests/test_quant_int8.py).
     quant: Optional[str] = None
+    quant_stages: Sequence[int] = (1, 1, 1, 1)
 
     arch_settings = {
         18: (BasicBlock, (2, 2, 2, 2)),
@@ -425,7 +428,8 @@ class ResNet(nn.Module):
                     avg_down=self.avg_down,
                     temporal_cfg=block_temporal,
                     dtype=self.dtype,
-                    quant=self.quant,
+                    quant=(self.quant if self.quant
+                           and self.quant_stages[i] else None),
                     name=f'layer{i + 1}_{j}',
                 )
                 if block_cls is Bottleneck:

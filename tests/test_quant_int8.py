@@ -108,3 +108,36 @@ class TestQuantInt8:
         np.testing.assert_allclose(ss, sd, rtol=1e-4, atol=1e-5)
         rms = np.sqrt(((s0 - ss) ** 2).mean())
         assert rms < 0.05 * np.sqrt((s0 ** 2).mean()), rms
+
+    def test_quant_stages_mask(self):
+        """quant_stages=(0,0,0,0) disables quantization entirely (exact
+        equality with the fp32 path); a partial mask stays within the
+        full-quant drift bound."""
+        m0 = _model(None)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 64, 64, 3))
+        v = m0.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                    train=False)
+        s0 = np.asarray(m0.apply(v, x, None, return_loss=False))
+
+        from mvfnet_tpu.models import build_recognizer
+        def masked(mask):
+            return build_recognizer(
+                dict(type='Recognizer2D',
+                     backbone=dict(type='ResNet', depth=50, out_indices=(3,),
+                                   quant='int8', quant_stages=mask),
+                     cls_head=dict(type='TSNClsHead', spatial_size=-1,
+                                   spatial_type='avg', dropout_ratio=0.5,
+                                   in_channels=2048, init_std=0.01,
+                                   num_classes=40),
+                     module_cfg=dict(type='MVF', n_segment=4, alpha=0.125,
+                                     mvf_freq=(0, 0, 1, 1), mode='THW'),
+                     fcn_testing=True),
+                test_cfg=dict(average_clips=None))
+
+        s_off = np.asarray(masked((0, 0, 0, 0)).apply(
+            v, x, None, return_loss=False))
+        np.testing.assert_array_equal(s_off, s0)
+        s_part = np.asarray(masked((1, 1, 0, 0)).apply(
+            v, x, None, return_loss=False))
+        rms = np.sqrt(((s_part - s0) ** 2).mean())
+        assert 0 < rms < 0.05 * np.sqrt((s0 ** 2).mean()), rms
