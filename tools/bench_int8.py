@@ -35,6 +35,12 @@ CONVS = [  # (name, N, H, W, Cin, Cout, kh, kw)
     ('conv_layer3_3x3', 240, 16, 16, 256, 256, 3, 3),
     ('conv_layer3_1x1', 240, 16, 16, 1024, 256, 1, 1),
 ]
+CONV3DS = [  # (name, N, T, H, W, Cin, Cout, kt, kh, kw)
+    ('conv3d_slowfast_fast_3x3x3', 3, 64, 56, 56, 8, 8, 3, 3, 3),
+    ('conv3d_slowfast_fast_1x1', 3, 64, 28, 28, 64, 16, 1, 1, 1),
+    ('conv3d_i3d_3x1x1', 6, 8, 14, 14, 1024, 256, 3, 1, 1),
+    ('conv3d_i3d_1x3x3', 6, 8, 14, 14, 256, 256, 1, 3, 3),
+]
 
 
 def _bench(make_x, w, op, flops, kpair, reps):
@@ -122,19 +128,51 @@ def bench_conv(name, N, H, W, Cin, Cout, kh, kw, kpair, reps):
     print(json.dumps(out), flush=True)
 
 
+def bench_conv3d(name, N, T, H, W, Cin, Cout, kt, kh, kw, kpair, reps):
+    import jax
+    import jax.numpy as jnp
+    key = jax.random.PRNGKey(0)
+    fl = 2 * N * T * H * W * Cin * Cout * kt * kh * kw
+    out = {'metric': name, 'unit': 'TF/s (int8: TOP/s)'}
+
+    def conv(pet):
+        return lambda a, b: jax.lax.conv_general_dilated(
+            a, b, (1, 1, 1), 'SAME',
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+            preferred_element_type=pet)
+
+    wb = jax.jit(lambda k: jax.random.normal(
+        k, (kt, kh, kw, Cin, Cout), jnp.bfloat16))(key)
+    out['bf16'] = round(_bench(
+        lambda: jax.jit(lambda k: jax.random.normal(
+            k, (N, T, H, W, Cin), jnp.bfloat16))(key),
+        wb, conv(None), fl, kpair, reps) / 1e12, 2)
+    w8 = jax.jit(lambda k: jax.random.randint(
+        k, (kt, kh, kw, Cin, Cout), -127, 127, jnp.int8))(key)
+    out['int8'] = round(_bench(
+        lambda: jax.jit(lambda k: jax.random.randint(
+            k, (N, T, H, W, Cin), -127, 127, jnp.int8))(key),
+        w8, conv(jnp.int32), fl, kpair, reps) / 1e12, 2)
+    print(json.dumps(out), flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument('--mode', choices=['matmul', 'conv', 'both'],
+    p.add_argument('--mode', choices=['matmul', 'conv', 'conv3d', 'both',
+                                      'all'],
                    default='both')
     p.add_argument('--k', type=int, nargs=2, default=(8, 136))
     p.add_argument('--reps', type=int, default=4)
     args = p.parse_args()
-    if args.mode in ('matmul', 'both'):
+    if args.mode in ('matmul', 'both', 'all'):
         for name, M, K, N in MATMULS:
             bench_matmul(name, M, K, N, tuple(args.k), args.reps)
-    if args.mode in ('conv', 'both'):
+    if args.mode in ('conv', 'both', 'all'):
         for spec in CONVS:
             bench_conv(*spec, tuple(args.k), args.reps)
+    if args.mode in ('conv3d', 'all'):
+        for spec in CONV3DS:
+            bench_conv3d(*spec, tuple(args.k), args.reps)
 
 
 if __name__ == '__main__':
