@@ -20,8 +20,10 @@ from typing import Any, Dict, Optional, Sequence, Union
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ...ops.tpack import pack_t, unpack_t
 from ..builder import BACKBONES
 from ..common import make_norm
+from .packed3d import PackedBottleneck3D
 from .resnet_i3d import BasicBlock3D, Bottleneck3D, conv3d, max_pool3d
 
 Dtype = Any
@@ -58,6 +60,7 @@ class ResNet_I3D_SlowFast(nn.Module):
     norm_eval: bool = True
     pretrained_slow: Optional[str] = None
     pretrained_fast: Optional[str] = None
+    fast_pack: int = 0
     dtype: Dtype = jnp.float32
 
     arch_settings = {
@@ -84,7 +87,7 @@ class ResNet_I3D_SlowFast(nn.Module):
                       name=name, dtype=self.dtype)(x_fast)
 
     def _stage(self, x, prefix, block_cls, num_blocks, planes, stage_idx,
-               inflate, lateral_in, inplanes, train):
+               inflate, lateral_in, inplanes, train, pack=0):
         if isinstance(inflate, int):
             inflate = (inflate,) * num_blocks
         for j in range(num_blocks):
@@ -92,16 +95,41 @@ class ResNet_I3D_SlowFast(nn.Module):
             cur_in = inplanes + (lateral_in if j == 0 else 0)
             with_ds = (j == 0 and
                        (ss != 1 or cur_in != planes * block_cls.expansion))
-            x = block_cls(
+            common = dict(
                 inplanes=cur_in, planes=planes, spatial_stride=ss,
                 temporal_stride=1, dilation=self.dilations[stage_idx],
                 with_downsample=with_ds, style=self.style,
                 if_inflate=inflate[j] == 1, inflate_style=self.inflate_style,
                 norm_cfg=self.norm_cfg, dtype=self.dtype,
-                name=f'{prefix}_layer{stage_idx + 1}_{j}',
-            )(x, train=train, norm_eval=self.norm_eval)
+                name=f'{prefix}_layer{stage_idx + 1}_{j}')
+            if pack:
+                x = PackedBottleneck3D(p=pack, **common)(
+                    x, train=train, norm_eval=self.norm_eval)
+            else:
+                x = block_cls(**common)(
+                    x, train=train, norm_eval=self.norm_eval)
             inplanes = planes * block_cls.expansion
         return x, inplanes
+
+    def _fast_pack_factor(self, t_fast: int) -> int:
+        """Resolve the effective fast-path pack factor (0 = unpacked).
+
+        Packing requires bottleneck blocks, temporal SAME geometry
+        (guaranteed: all SlowFast temporal strides are 1) and a fast-path
+        length divisible by the factor; silently degrades to the largest
+        valid divisor so odd eval clip lengths still benefit.
+        """
+        p = self.fast_pack
+        if not p or self.slow_only:
+            return 0
+        if self.arch_settings[self.depth][0] is not Bottleneck3D:
+            import logging
+            logging.getLogger(__name__).warning(
+                'fast_pack ignored: depth %d uses basic blocks', self.depth)
+            return 0
+        while p > 1 and t_fast % p:
+            p -= 1
+        return p if p > 1 else 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -125,15 +153,19 @@ class ResNet_I3D_SlowFast(nn.Module):
                                 self.slow_conv1_stride_t,
                                 self.slow_pool1_kernel_t,
                                 self.slow_pool1_stride_t, use_ra)
+        pack = 0
         if not self.slow_only:
             x_fast = self._stem(x[:, ::self.tau // self.alpha], 'fast',
                                 64 // beta, self.fast_conv1_kernel_t,
                                 self.fast_conv1_stride_t,
                                 self.fast_pool1_kernel_t,
                                 self.fast_pool1_stride_t, use_ra)
+            pack = self._fast_pack_factor(x_fast.shape[1])
         if two_path:
             lat = self._lateral(x_fast, 64 * 2 // beta, 'slow_conv1_lateral')
             x_slow = jnp.concatenate([x_slow, lat], axis=-1)
+        if pack:
+            x_fast = pack_t(x_fast, pack)
 
         outs = []
         slow_inplanes, fast_inplanes = 64, 64 // beta
@@ -147,18 +179,19 @@ class ResNet_I3D_SlowFast(nn.Module):
             if not self.slow_only:
                 x_fast, fast_inplanes = self._stage(
                     x_fast, 'fast', block_cls, num_blocks, planes // beta, i,
-                    fast_inf[i], 0, fast_inplanes, train)
+                    fast_inf[i], 0, fast_inplanes, train, pack=pack)
+            x_fast_u = unpack_t(x_fast, pack) if pack else x_fast
             if two_path and i != self.num_stages - 1:
                 lat = self._lateral(
-                    x_fast, fast_inplanes * 2,
+                    x_fast_u, fast_inplanes * 2,
                     f'slow_layer{i + 1}_lateral')
                 x_slow = jnp.concatenate([x_slow, lat], axis=-1)
                 lateral_in = fast_inplanes * 2
             if i in self.out_indices:
                 if two_path:
-                    outs.append((x_slow, x_fast))
+                    outs.append((x_slow, x_fast_u))
                 elif self.fast_only:
-                    outs.append(x_fast)
+                    outs.append(x_fast_u)
                 else:
                     outs.append(x_slow)
         if len(outs) == 1:

@@ -23,7 +23,7 @@ FAMILIES = {
 
 
 def bench_family(name, cfg_path, clip_len, k_pair, reps,
-                 size=256, views=3, view_chunk=None):
+                 size=256, views=3, view_chunk=None, fast_pack=0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -34,6 +34,9 @@ def bench_family(name, cfg_path, clip_len, k_pair, reps,
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     cfg = Config.fromfile(cfg_path)
     model_cfg = dict(cfg.model, dtype=dtype)
+    if fast_pack:
+        model_cfg['backbone'] = dict(model_cfg['backbone'],
+                                     fast_pack=fast_pack)
     test_cfg = dict(average_clips='prob')
     if view_chunk:
         test_cfg['view_chunk'] = view_chunk
@@ -91,12 +94,16 @@ def main():
     p.add_argument('--view-chunk', type=int, default=None,
                    help='process the view batch in unrolled chunks of this '
                         'many clips inside the compiled program')
+    p.add_argument('--fast-pack', type=int, default=0,
+                   help='SlowFast fast-pathway time-to-channel pack factor '
+                        '(backbone.fast_pack; ignored by other families)')
     args = p.parse_args()
     for name in args.families:
         cfg_path, clip_len = FAMILIES[name]
         bench_family(name, cfg_path, args.clip_len or clip_len,
                      tuple(args.k), args.reps, size=args.size,
-                     views=args.views, view_chunk=args.view_chunk)
+                     views=args.views, view_chunk=args.view_chunk,
+                     fast_pack=args.fast_pack if 'slowfast' in name else 0)
 
 
 if __name__ == '__main__':
