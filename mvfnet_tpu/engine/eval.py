@@ -27,6 +27,8 @@ def evaluate_dataset(model, variables, dataset, mesh=None,
                      norm_cfg=None) -> np.ndarray:
     """Run inference over the whole dataset; returns (N, K) scores in
     dataset order (or (N, C) features when ``extract_feat``)."""
+    from ..models.common import check_quant_calibrated
+    check_quant_calibrated(model, variables)
     mesh = mesh if mesh is not None else make_mesh()
     rank = jax.process_index()
     world = jax.process_count()
@@ -99,10 +101,14 @@ _EVAL_STEP_CACHE: Dict[Any, Any] = {}
 
 def _cached_eval_step(model, extract_feat: bool, norm_key):
     """One jitted eval step per (model, mode, norm) — repeated
-    mid-train evals reuse the compiled executable instead of re-jitting."""
+    mid-train evals reuse the compiled executable instead of re-jitting.
+
+    The entry holds a strong reference to ``model``: the key uses
+    ``id(model)``, and without the strong ref a new model allocated at a
+    GC'd model's address would silently reuse the stale compiled step."""
     key = (id(model), extract_feat, norm_key)
     if key in _EVAL_STEP_CACHE:
-        return _EVAL_STEP_CACHE[key]
+        return _EVAL_STEP_CACHE[key][1]
     norm_cfg = ({k: (np.asarray(v) if isinstance(v, tuple) else v)
                  for k, v in norm_key} if norm_key else None)
     if extract_feat:
@@ -115,7 +121,7 @@ def _cached_eval_step(model, extract_feat: bool, norm_key):
         step = jax.jit(fn)
     else:
         step = make_eval_step(model, mesh=None, norm_cfg=norm_cfg)
-    _EVAL_STEP_CACHE[key] = step
+    _EVAL_STEP_CACHE[key] = (model, step)
     return step
 
 

@@ -370,6 +370,10 @@ class ResNet(nn.Module):
             raise ValueError('quant={!r} is an eval-only path; gradients '
                              'through int8 rounding are meaningless'
                              .format(self.quant))
+        if self.quant and len(self.quant_stages) < self.num_stages:
+            raise ValueError(
+                f'quant_stages needs one entry per stage: got '
+                f'{len(self.quant_stages)} for num_stages={self.num_stages}')
         use_ra = (not train) or self.norm_eval
 
         if self.deep_stem:

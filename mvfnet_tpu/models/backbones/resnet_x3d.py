@@ -266,6 +266,8 @@ class ResNet_X3D(nn.Module):
             dense_w = x.shape[3] * (2 if in_s2d else 1)
             stage_s2d = (
                 i in self.s2d_stages and use_ra
+                and (self.norm_cfg or {}).get('type', 'BN') in (
+                    'BN', 'BN3d', 'SyncBN')
                 and self.style == 'pytorch'
                 and self.inflate_style == 'mobile'
                 and all(f == 1 for f in stage_inflate)

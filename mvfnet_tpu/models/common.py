@@ -98,9 +98,17 @@ def _act_quant(mod: nn.Module, stat_name: str, xf: jnp.ndarray,
     Returns ``(scale, int8_tensor)``. Records/reads the per-tensor abs-max
     in the ``quant_stats`` collection (see :class:`QuantConv2d`)."""
     if mod.is_mutable_collection('quant_stats'):
-        # init / calibration pass: measure and record (both modes)
+        # init / calibration pass: measure and record (both modes). The
+        # 'calibrated' marker distinguishes a real calibration apply from
+        # model.init (whose input is usually zeros/random): static eval
+        # with init-only scales would silently saturate activations, so
+        # check_quant_calibrated() raises on marker==0 before eval runs.
         qs = mod.variable('quant_stats', stat_name,
                           lambda: jnp.zeros((), jnp.float32))
+        cal = mod.variable('quant_stats', f'{stat_name}_calibrated',
+                           lambda: jnp.zeros((), jnp.float32))
+        if not mod.is_initializing():
+            cal.value = jnp.ones((), jnp.float32)
         amax = jnp.max(jnp.abs(xf))
         qs.value = jnp.maximum(qs.value, amax)
         sx = jnp.maximum(amax / 127.0, 1e-12)
@@ -179,6 +187,45 @@ class QuantConv2d(nn.Module):
                               (self.features,), jnp.float32)
             out = out + bias
         return out.astype(self.dtype)
+
+
+def check_quant_calibrated(model, variables) -> None:
+    """Refuse to run an ``int8_static`` eval on init-only activation scales.
+
+    ``model.init`` records abs-max from the init input (often zeros), so an
+    uncalibrated static eval would silently use garbage scales. Calibration
+    passes (``apply(..., mutable=['quant_stats'])`` outside init) set the
+    per-conv 'calibrated' markers; this checks them host-side before the
+    jitted eval step runs (inside jit the values are tracers and cannot
+    gate a raise). No-op for non-static or quant-free models.
+    """
+    bb = getattr(model, 'backbone', None)
+    if not isinstance(bb, dict) or bb.get('quant') != 'int8_static':
+        return
+    qs = variables.get('quant_stats') if hasattr(variables, 'get') else None
+    markers = []
+
+    def _walk(node):
+        if hasattr(node, 'items'):
+            for k, v in node.items():
+                if k.endswith('calibrated'):
+                    markers.append(v)
+                else:
+                    _walk(v)
+
+    _walk(qs or {})
+    import numpy as np
+    try:
+        uncal = not markers or not all(float(np.asarray(m)) > 0
+                                       for m in markers)
+    except Exception:
+        return  # traced values: cannot check here
+    if uncal:
+        raise ValueError(
+            "quant='int8_static' needs calibrated activation scales: run "
+            "apply(..., mutable=['quant_stats']) on representative batches "
+            'first (test_recognizer.py does this automatically via '
+            '--calib_videos) and pass the updated quant_stats collection')
 
 
 def max_pool_same_as_torch(x: jnp.ndarray, window: int, stride: int,

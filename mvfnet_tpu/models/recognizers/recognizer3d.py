@@ -62,6 +62,11 @@ class Recognizer3D(nn.Module):
         # compiled program; scores are bit-identical to the unchunked run.
         chunk = (self.test_cfg or {}).get('view_chunk')
         n = imgs.shape[0]
+        if chunk and n > chunk and n % chunk:
+            import logging
+            logging.getLogger(__name__).warning(
+                'test_cfg.view_chunk=%d ignored: %d views not divisible',
+                chunk, n)
         if chunk and n > chunk and n % chunk == 0:
             scores = []
             for i in range(n // chunk):

@@ -97,8 +97,12 @@ class TestQuantInt8:
         vs = ms.init(jax.random.PRNGKey(0), x, None, return_loss=False,
                      train=False)
         assert 'quant_stats' in vs
-        amaxes = jax.tree_util.tree_leaves(vs['quant_stats'])
+        flat = jax.tree_util.tree_flatten_with_path(vs['quant_stats'])[0]
+        amaxes = [v for p, v in flat if 'calibrated' not in str(p)]
+        markers = [v for p, v in flat if 'calibrated' in str(p)]
         assert all(float(a) > 0 for a in amaxes)
+        # init alone must NOT mark the scales as calibrated
+        assert markers and all(float(m) == 0 for m in markers)
         mixed = {'params': v0['params'], 'batch_stats': v0['batch_stats'],
                  'quant_stats': vs['quant_stats']}
         s0 = np.asarray(m0.apply(v0, x, None, return_loss=False))
@@ -141,3 +145,52 @@ class TestQuantInt8:
             v, x, None, return_loss=False))
         rms = np.sqrt(((s_part - s0) ** 2).mean())
         assert 0 < rms < 0.05 * np.sqrt((s0 ** 2).mean()), rms
+
+
+class TestCalibrationGuard:
+    """ADVICE r2: static eval must not silently run on init-only scales."""
+
+    def test_check_quant_calibrated_raises_then_passes(self):
+        from mvfnet_tpu.models.common import check_quant_calibrated
+        ms = _model('int8_static')
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 64, 64, 3))
+        vs = ms.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                     train=False)
+        with pytest.raises(ValueError, match='calibrated'):
+            check_quant_calibrated(ms, vs)
+        # a real calibration apply sets the markers
+        _, mut = ms.apply(vs, x, None, return_loss=False,
+                          mutable=['quant_stats'])
+        check_quant_calibrated(ms, dict(vs, **mut))  # no raise
+        # non-static models are never gated
+        check_quant_calibrated(_model(None), vs)
+        check_quant_calibrated(_model('int8'), vs)
+
+    def test_quant_stages_length_validated(self):
+        from mvfnet_tpu.models import build_backbone
+        bb = build_backbone(dict(type='ResNet', depth=50, out_indices=(3,),
+                                 quant='int8', quant_stages=(1, 1)))
+        x = jnp.zeros((1, 32, 32, 3))
+        with pytest.raises(ValueError, match='quant_stages'):
+            bb.init(jax.random.PRNGKey(0), x, train=False)
+
+
+class TestViewChunkWarning:
+    def test_non_divisible_view_chunk_warns(self, caplog):
+        """ADVICE r2: a skipped perf knob must signal, not silently no-op."""
+        import logging
+        from mvfnet_tpu.models import build_recognizer
+        model = build_recognizer(
+            dict(type='Recognizer3D',
+                 backbone=dict(type='ResNet_I3D', depth=50,
+                               out_indices=(3,), norm_eval=False,
+                               norm_cfg=dict(type='BN3d')),
+                 cls_head=dict(type='I3DClsHead', in_channels=2048,
+                               dropout_ratio=0.5, num_classes=10)),
+            test_cfg=dict(average_clips='prob', view_chunk=4))
+        x = jnp.zeros((1, 6, 8, 32, 32, 3))
+        v = model.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                       train=False)
+        with caplog.at_level(logging.WARNING):
+            model.apply(v, x, None, return_loss=False)
+        assert any('view_chunk' in r.message for r in caplog.records)
