@@ -23,13 +23,17 @@ def parse_args():
                    help='resize short edge (0 = keep)')
     p.add_argument('--num-workers', type=int, default=8)
     p.add_argument('--ext', default='mp4,avi,mkv,webm')
+    p.add_argument('--prefix', default='img_{:05d}.jpg',
+                   help='frame filename template (Python format string; '
+                        "reference equivalents: 'image_{:04d}.jpg' UCF101, "
+                        "'image_{:06d}.jpg' HMDB51, '{:06d}.jpg' SthV2)")
     p.add_argument('--level', type=int, default=2, choices=[1, 2],
                    help='1: videos at src root; 2: class subdirs')
     return p.parse_args()
 
 
 def extract_one(args):
-    src, dst, fps, short_edge = args
+    src, dst, fps, short_edge, prefix = args
     os.makedirs(dst, exist_ok=True)
     cap = cv2.VideoCapture(src)
     if not cap.isOpened():
@@ -51,7 +55,7 @@ def extract_one(args):
                 frame = cv2.resize(
                     frame, (int(w * scale + 0.5), int(h * scale + 0.5)),
                     interpolation=cv2.INTER_LINEAR)
-            cv2.imwrite(os.path.join(dst, f'img_{idx_out:05d}.jpg'), frame)
+            cv2.imwrite(os.path.join(dst, prefix.format(idx_out)), frame)
         i += 1
     cap.release()
     return src, idx_out
@@ -74,7 +78,7 @@ def main():
         name = os.path.splitext(fname)[0]
         dst = os.path.join(args.out_dir, cls, name)
         jobs.append((os.path.join(root, fname), dst, args.fps,
-                     args.short_edge))
+                     args.short_edge, args.prefix))
     with ThreadPool(args.num_workers) as pool:
         for src, n in pool.imap_unordered(extract_one, jobs):
             print(f'{src}: {n} frames')
