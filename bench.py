@@ -29,16 +29,8 @@ K1, K2 = 1, 9
 REPS = 3
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument('--quant', choices=['int8', 'int8_static'], default=None,
-                    help='experimental eval-only int8 conv path; _static '
-                         'uses init-calibrated activation scales '
-                         '(DESIGN.md "Int8 dense-test"); default bf16')
-    ap.add_argument('--quant-stages', type=int, nargs=4, default=(1, 1, 1, 1),
-                    help='per-stage 0/1 mask of which res-stages quantize')
-    args = ap.parse_args()
-
+def measure(quant, quant_stages):
+    """Return dense-test clips/sec for one precision variant."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -53,8 +45,8 @@ def main():
         dict(
             type='Recognizer2D',
             backbone=dict(type='ResNet', depth=50, out_indices=(3,),
-                          norm_eval=False, quant=args.quant,
-                          quant_stages=tuple(args.quant_stages),
+                          norm_eval=False, quant=quant,
+                          quant_stages=tuple(quant_stages),
                           norm_cfg=dict(type='BN', requires_grad=True)),
             cls_head=dict(type='TSNClsHead', spatial_size=-1,
                           spatial_type='avg', dropout_ratio=0.5,
@@ -92,23 +84,58 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
-    if not on_tpu:
-        k1, k2 = 1, 2  # CPU smoke mode
-    else:
-        k1, k2 = K1, K2
+    k1, k2 = (K1, K2) if on_tpu else (1, 2)  # CPU smoke mode
     t1 = best_time(k1)
     t2 = best_time(k2)
     per_video = max((t2 - t1) / (k2 - k1), 1e-9)
-    clips_per_sec = views / per_video
+    return views / per_video
 
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quant', choices=['int8', 'int8_static'], default=None,
+                    help='report ONLY this quant variant as the headline '
+                         '(DESIGN.md "Int8 dense-test"); default: bf16 '
+                         'headline + int8_static side report')
+    ap.add_argument('--quant-stages', type=int, nargs=4, default=(1, 1, 0, 0),
+                    help='per-stage 0/1 mask of which res-stages quantize '
+                         '(default = the measured-best (1,1,0,0) recipe)')
+    ap.add_argument('--skip-quant', action='store_true',
+                    help='bf16 headline only; skip the int8_static side run')
+    args = ap.parse_args()
+
+    if args.quant:  # explicit single-variant mode
+        clips_per_sec = measure(args.quant, args.quant_stages)
+        print(json.dumps({
+            'metric': 'r50_8x8_dense_test_clips_per_sec_per_chip',
+            'value': round(clips_per_sec, 2),
+            'unit': 'clips/sec/chip',
+            'vs_baseline':
+                round(clips_per_sec / V100_BASELINE_CLIPS_PER_SEC, 3),
+            'quant': args.quant,
+        }))
+        return
+
+    # Default driver line: bf16 exact-math headline, plus the measured
+    # int8_static (1,1,0,0) recipe as a side field (VERDICT r2 item 2b —
+    # bf16 stays the accuracy-default until real-data validation; drift
+    # bound: tests/test_quant_int8.py::test_golden_weights_margin_drift).
+    clips_per_sec = measure(None, (1, 1, 1, 1))
     out = {
         'metric': 'r50_8x8_dense_test_clips_per_sec_per_chip',
         'value': round(clips_per_sec, 2),
         'unit': 'clips/sec/chip',
         'vs_baseline': round(clips_per_sec / V100_BASELINE_CLIPS_PER_SEC, 3),
     }
-    if args.quant:
-        out['quant'] = args.quant
+    if not args.skip_quant:
+        try:
+            q = measure('int8_static', args.quant_stages)
+            out['int8_static_value'] = round(q, 2)
+            out['int8_static_stages'] = list(args.quant_stages)
+            out['int8_static_vs_baseline'] = round(
+                q / V100_BASELINE_CLIPS_PER_SEC, 3)
+        except Exception as e:  # never lose the bf16 line to a quant bug
+            out['int8_static_error'] = f'{type(e).__name__}: {e}'[:120]
     print(json.dumps(out))
 
 

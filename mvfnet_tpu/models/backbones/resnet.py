@@ -248,6 +248,9 @@ class _SpaceToDepthStem(nn.Module):
     unaffected.
     """
     features: int = 64
+    # eval-only int8 form of the s2d conv (K=48 contraction); gated by
+    # the backbone's quant_stem knob, see DESIGN.md "Int8 dense-test"
+    quant: Optional[str] = None
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -270,9 +273,24 @@ class _SpaceToDepthStem(nn.Module):
         xp = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
         xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2,
                                                     4 * c)
-        out = jax.lax.conv_general_dilated(
-            xp, k, window_strides=(1, 1), padding='VALID',
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        if self.quant in ('int8', 'int8_static'):
+            from ..common import _act_quant
+            kf = k.astype(jnp.float32)
+            sw = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0,
+                             1e-12)
+            kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+            sx, xq = _act_quant(self, 'act_amax', xp.astype(jnp.float32),
+                                self.quant == 'int8_static')
+            out = jax.lax.conv_general_dilated(
+                xq, kq, window_strides=(1, 1), padding='VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+                preferred_element_type=jnp.int32)
+            out = (out.astype(jnp.float32) * (sx * sw)).astype(
+                self.dtype or jnp.float32)
+        else:
+            out = jax.lax.conv_general_dilated(
+                xp, k, window_strides=(1, 1), padding='VALID',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         return out[:, :h // 2, :w // 2]
 
 
@@ -351,6 +369,10 @@ class ResNet(nn.Module):
     # (tests/test_quant_int8.py).
     quant: Optional[str] = None
     quant_stages: Sequence[int] = (1, 1, 1, 1)
+    # additionally quantize the s2d stem conv (excluded by default: the
+    # first conv sees raw normalized pixels and its drift propagates
+    # through every stage; flip on to measure — 2.04 of 28.1 ms e2e)
+    quant_stem: bool = False
 
     arch_settings = {
         18: (BasicBlock, (2, 2, 2, 2)),
@@ -389,6 +411,8 @@ class ResNet(nn.Module):
             inplanes = sw * 2
         elif self.stem_s2d:
             x = _SpaceToDepthStem(features=64, dtype=self.dtype,
+                                  quant=(self.quant if self.quant_stem
+                                         else None),
                                   name='conv1')(x)
             inplanes = 64
         else:

@@ -29,11 +29,25 @@ def conv3d(features: int, kernel: Tuple[int, int, int],
            padding: Optional[Tuple[int, int, int]] = None,
            dilation: Tuple[int, int, int] = (1, 1, 1),
            use_bias: bool = False, name: Optional[str] = None,
-           dtype: Dtype = jnp.float32) -> nn.Conv:
-    """torch-semantics Conv3d on (N,T,H,W,C)."""
+           dtype: Dtype = jnp.float32,
+           quant: Optional[str] = None) -> nn.Module:
+    """torch-semantics Conv3d on (N,T,H,W,C).
+
+    ``quant='int8'|'int8_static'`` swaps in
+    :class:`~mvfnet_tpu.models.common.QuantConv3d` (same param tree) —
+    callers gate by conv type via ``quant_conv3d_type``."""
     if padding is None:
         padding = tuple((k - 1) // 2 for k in kernel)
     pad = tuple((p, p) for p in padding)
+    if quant in ('int8', 'int8_static'):
+        from ..common import QuantConv3d
+        return QuantConv3d(features=features, kernel_size=kernel,
+                           strides=stride, padding=pad, dilation=dilation,
+                           use_bias=use_bias,
+                           static=(quant == 'int8_static'),
+                           dtype=dtype, name=name)
+    if quant is not None:
+        raise ValueError(f'unknown quant mode {quant!r}')
     return nn.Conv(features=features, kernel_size=kernel, strides=stride,
                    padding=pad, kernel_dilation=dilation, use_bias=use_bias,
                    dtype=dtype, param_dtype=jnp.float32, name=name)
@@ -78,9 +92,20 @@ class Bottleneck3D(nn.Module):
     avg_down: bool = False
     avd: bool = False
     avd_first: bool = False
+    # eval-only int8 conv path, gated per conv TYPE (DESIGN.md round-3
+    # conv3d microbench: spatial +41%, temporal loses)
+    quant: Optional[str] = None
+    quant_ops: Sequence[str] = ('spatial',)
     dtype: Dtype = jnp.float32
 
     expansion = 4
+
+    def _q(self, kernel):
+        if not self.quant:
+            return None
+        from ..common import quant_conv3d_type
+        return (self.quant
+                if quant_conv3d_type(kernel) in self.quant_ops else None)
 
     @nn.compact
     def __call__(self, x, train: bool = False, norm_eval: bool = False):
@@ -107,7 +132,8 @@ class Bottleneck3D(nn.Module):
 
         identity = x
         out = conv3d(self.planes, k1, (c1_t, c1_s, c1_s), p1,
-                     name='conv1', dtype=self.dtype)(x)
+                     name='conv1', dtype=self.dtype,
+                     quant=self._q(k1))(x)
         out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
@@ -117,7 +143,8 @@ class Bottleneck3D(nn.Module):
                              (0, 1, 1))
         out = conv3d(self.planes, k2, (c2_t, c2_s, c2_s), p2,
                      dilation=(1, self.dilation, self.dilation),
-                     name='conv2', dtype=self.dtype)(out)
+                     name='conv2', dtype=self.dtype,
+                     quant=self._q(k2))(out)
         out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
@@ -126,7 +153,8 @@ class Bottleneck3D(nn.Module):
                              (1, self.spatial_stride, self.spatial_stride),
                              (0, 1, 1))
         out = conv3d(self.planes * self.expansion, (1, 1, 1),
-                     name='conv3', dtype=self.dtype)(out)
+                     name='conv3', dtype=self.dtype,
+                     quant=self._q((1, 1, 1)))(out)
         out = make_norm(self.norm_cfg, name='bn3', dtype=self.dtype)(
             out, use_running_average=use_ra)
 
@@ -175,9 +203,13 @@ class BasicBlock3D(nn.Module):
     avg_down: bool = False
     avd: bool = False
     avd_first: bool = False
+    quant: Optional[str] = None
+    quant_ops: Sequence[str] = ('spatial',)
     dtype: Dtype = jnp.float32
 
     expansion = 1
+
+    _q = Bottleneck3D._q
 
     @nn.compact
     def __call__(self, x, train: bool = False, norm_eval: bool = False):
@@ -188,12 +220,12 @@ class BasicBlock3D(nn.Module):
             else (0, self.dilation, self.dilation)
         identity = x
         out = conv3d(self.planes, k, (ts, ss, ss), p, name='conv1',
-                     dtype=self.dtype)(x)
+                     dtype=self.dtype, quant=self._q(k))(x)
         out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = nn.relu(out)
         out = conv3d(self.planes, k, (1, 1, 1), p, name='conv2',
-                     dtype=self.dtype)(out)
+                     dtype=self.dtype, quant=self._q(k))(out)
         out = make_norm(self.norm_cfg, name='bn2', dtype=self.dtype)(
             out, use_running_average=use_ra)
         if self.with_downsample:
@@ -241,6 +273,14 @@ class ResNet_I3D(nn.Module):
     pretrained2d: bool = True
     with_cp: bool = False
     zero_init_residual: bool = True
+    # quant='int8'|'int8_static': EVAL-ONLY int8 path for block convs,
+    # masked per-stage (quant_stages) AND per conv TYPE (quant_ops —
+    # default spatial-only, from the conv3d microbench: spatial 1x3x3
+    # +41% int8, temporal 3x1x1 loses; DESIGN.md "Round-3 candidates").
+    # Same param tree — any checkpoint loads unchanged.
+    quant: Optional[str] = None
+    quant_stages: Sequence[int] = (1, 1, 1, 1)
+    quant_ops: Sequence[str] = ('spatial',)
     dtype: Dtype = jnp.float32
 
     arch_settings = {
@@ -257,6 +297,14 @@ class ResNet_I3D(nn.Module):
         block_cls, stage_blocks = self.arch_settings[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
         use_ra = (not train) or self.norm_eval
+        if self.quant and train:
+            raise ValueError('quant={!r} is an eval-only path; gradients '
+                             'through int8 rounding are meaningless'
+                             .format(self.quant))
+        if self.quant and len(self.quant_stages) < self.num_stages:
+            raise ValueError(
+                f'quant_stages needs one entry per stage: got '
+                f'{len(self.quant_stages)} for num_stages={self.num_stages}')
 
         if self.deep_stem:
             sw = self.stem_width
@@ -314,7 +362,11 @@ class ResNet_I3D(nn.Module):
                     norm_cfg=self.norm_cfg,
                     nonlocal_cfg=nl_cfg if stage_nl[j] == 1 else None,
                     avg_down=self.avg_down, avd=self.avd,
-                    avd_first=self.avd_first, dtype=self.dtype,
+                    avd_first=self.avd_first,
+                    quant=(self.quant
+                           if self.quant and self.quant_stages[i]
+                           else None),
+                    quant_ops=tuple(self.quant_ops), dtype=self.dtype,
                     name=f'layer{i + 1}_{j}',
                 )(x, train=train, norm_eval=self.norm_eval)
                 inplanes = planes * block_cls.expansion

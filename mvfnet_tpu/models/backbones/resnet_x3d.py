@@ -63,7 +63,19 @@ class X3DBottleneck(nn.Module):
     # half spatial resolution); set by the backbone for thin stages at
     # inference. Exact same math and parameters — see ops/s2d.py.
     s2d: bool = False
+    # eval-only int8 conv path; mobile blocks have no spatial-type convs
+    # (conv2 is depthwise), so X3D's opportunity is quant_ops=
+    # ('pointwise',) on conv1/conv3/downsample (DESIGN.md round-3)
+    quant: object = None
+    quant_ops: Sequence[str] = ('pointwise',)
     dtype: Dtype = jnp.float32
+
+    def _q(self, kernel):
+        if not self.quant:
+            return None
+        from ..common import quant_conv3d_type
+        return (self.quant
+                if quant_conv3d_type(kernel) in self.quant_ops else None)
 
     @nn.compact
     def __call__(self, x, train: bool = False, norm_eval: bool = False):
@@ -92,7 +104,8 @@ class X3DBottleneck(nn.Module):
 
         identity = x
         out = conv3d(self.planes, k1, (c1_t, c1_s, c1_s), p1,
-                     name='conv1', dtype=self.dtype)(x)
+                     name='conv1', dtype=self.dtype,
+                     quant=self._q(k1))(x)
         out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
             out, use_running_average=use_ra)
         out = act(out)
@@ -110,12 +123,13 @@ class X3DBottleneck(nn.Module):
                            dtype=self.dtype)(out)
         out = act(out)
         out = conv3d(self.out_channels, (1, 1, 1), name='conv3',
-                     dtype=self.dtype)(out)
+                     dtype=self.dtype, quant=self._q((1, 1, 1)))(out)
         out = make_norm(self.norm_cfg, name='bn3', dtype=self.dtype)(
             out, use_running_average=use_ra)
         if self.with_downsample:
             identity = conv3d(self.out_channels, (1, 1, 1), (ts, ss, ss),
-                              name='downsample_conv', dtype=self.dtype)(x)
+                              name='downsample_conv', dtype=self.dtype,
+                              quant=self._q((1, 1, 1)))(x)
             identity = make_norm(self.norm_cfg, name='downsample_bn',
                                  dtype=self.dtype)(
                 identity, use_running_average=use_ra)
@@ -221,6 +235,13 @@ class ResNet_X3D(nn.Module):
     # 170 with stages 1-2, v5e bf16 16x5 dense test). Kept as an exact,
     # parameter-compatible, tested option; see docs/DESIGN.md.
     s2d_stages: Sequence[int] = ()
+    # quant='int8'|'int8_static': EVAL-ONLY int8 path for the pointwise
+    # block convs (quant_ops default; mobile blocks have no spatial-type
+    # convs), masked per-stage like the 2-D backbone. Same param tree.
+    # Mutually exclusive with s2d_stages per stage (s2d wins).
+    quant: Optional[str] = None
+    quant_stages: Sequence[int] = (1, 1, 1, 1)
+    quant_ops: Sequence[str] = ('pointwise',)
     dtype: Dtype = jnp.float32
 
     arch_settings = {
@@ -233,6 +254,14 @@ class ResNet_X3D(nn.Module):
         _, stage_blocks = self.arch_settings[self.depth]
         stage_blocks = stage_blocks[:self.num_stages]
         use_ra = (not train) or self.norm_eval
+        if self.quant and train:
+            raise ValueError('quant={!r} is an eval-only path; gradients '
+                             'through int8 rounding are meaningless'
+                             .format(self.quant))
+        if self.quant and len(self.quant_stages) < self.num_stages:
+            raise ValueError(
+                f'quant_stages needs one entry per stage: got '
+                f'{len(self.quant_stages)} for num_stages={self.num_stages}')
         rw, ru, rb = self.ratio_width, self.ratio_up, self.ratio_bottleneck
         stem_ch = int(24 * rw)
 
@@ -293,7 +322,10 @@ class ResNet_X3D(nn.Module):
                     dilation=self.dilations[i], with_downsample=with_ds,
                     style=self.style, if_inflate=stage_inflate[j] == 1,
                     inflate_style=self.inflate_style,
-                    norm_cfg=self.norm_cfg, s2d=stage_s2d, dtype=self.dtype,
+                    norm_cfg=self.norm_cfg, s2d=stage_s2d,
+                    quant=(self.quant if self.quant and not stage_s2d
+                           and self.quant_stages[i] else None),
+                    quant_ops=tuple(self.quant_ops), dtype=self.dtype,
                     name=f'layer{i + 1}_{j}',
                 )(x, train=train, norm_eval=self.norm_eval)
                 inplanes = out_ch

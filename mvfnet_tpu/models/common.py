@@ -189,6 +189,63 @@ class QuantConv2d(nn.Module):
         return out.astype(self.dtype)
 
 
+class QuantConv3d(nn.Module):
+    """Int8-quantized eval Conv3d, checkpoint-compatible with ``nn.Conv``.
+
+    3-D sibling of :class:`QuantConv2d` (same scheme: per-output-channel
+    symmetric weight scales from the fp32 ``kernel`` param, per-tensor
+    activation scale, int32 accumulation, rescale to compute dtype).
+    Motivation: the conv3d int8 microbench (DESIGN.md "Round-3
+    candidates") — spatial 1x3x3 convs +41% in int8, temporal 3x1x1
+    convs lose — so the owning backbones gate which conv *types* route
+    here (``quant_ops``); this class itself is type-agnostic.
+    """
+    features: int
+    kernel_size: Tuple[int, int, int]
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    padding: Any = ((0, 0), (0, 0), (0, 0))
+    dilation: Tuple[int, int, int] = (1, 1, 1)
+    use_bias: bool = False
+    static: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            'kernel', nn.initializers.lecun_normal(),
+            tuple(self.kernel_size) + (in_ch, self.features), jnp.float32)
+        sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2, 3)) / 127.0
+        sw = jnp.maximum(sw, 1e-12)
+        wq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+        xf = x.astype(jnp.float32)
+        sx, xq = _act_quant(self, 'act_amax', xf, self.static)
+        y = jax.lax.conv_general_dilated(
+            xq, wq, self.strides, self.padding,
+            rhs_dilation=tuple(self.dilation),
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'),
+            preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (sx * sw)
+        if self.use_bias:
+            bias = self.param('bias', nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            out = out + bias
+        return out.astype(self.dtype)
+
+
+def quant_conv3d_type(kernel: Tuple[int, int, int]) -> str:
+    """Classify a conv3d kernel for per-layer-TYPE quant masking:
+    'temporal' (kt>1), 'spatial' (kt==1, spatial extent >1), or
+    'pointwise' (1x1x1)."""
+    kt, kh, kw = kernel
+    if kt > 1:
+        return 'temporal'
+    if max(kh, kw) > 1:
+        return 'spatial'
+    return 'pointwise'
+
+
 def check_quant_calibrated(model, variables) -> None:
     """Refuse to run an ``int8_static`` eval on init-only activation scales.
 

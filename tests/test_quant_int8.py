@@ -146,6 +146,55 @@ class TestQuantInt8:
         rms = np.sqrt(((s_part - s0) ** 2).mean())
         assert 0 < rms < 0.05 * np.sqrt((s0 ** 2).mean()), rms
 
+    def test_golden_weights_margin_drift(self):
+        """Principled drift bound on the golden-fixture weights (VERDICT r2
+        weak item 5): instead of a raw logit-RMS number, tie the int8
+        perturbation to the statistic that decides top-1 — the per-sample
+        top1-top2 logit margin. For every sample of a 16-video batch
+        through the fixture R50-MVF (PRNGKey(0) weights, the same model
+        pinned by tests/golden/r50_mvf_logits.npz):
+
+          |dl_top1| + |dl_top2| < margin   (sufficient for no top-1 flip)
+
+        must hold under the shipping (1,1,0,0) int8_static recipe, and no
+        argmax may flip. The margin headroom (min margin/drift ratio) is
+        printed for DESIGN.md."""
+        from test_models import r50_mvf_cfg
+        m0 = build_recognizer(r50_mvf_cfg(),
+                              test_cfg=dict(average_clips=None))
+        cfg_q = r50_mvf_cfg()
+        cfg_q['backbone'] = dict(cfg_q['backbone'], quant='int8_static',
+                                 quant_stages=(1, 1, 0, 0))
+        mq = build_recognizer(cfg_q, test_cfg=dict(average_clips=None))
+
+        rng = np.random.RandomState(3)
+        x = jnp.asarray(rng.randn(16, 4, 32, 32, 3).astype(np.float32))
+        v0 = m0.init(jax.random.PRNGKey(0), x[:1], None,
+                     return_loss=False, train=False)
+        vq = mq.init(jax.random.PRNGKey(0), x[:1], None,
+                     return_loss=False, train=False)
+        # calibrate static scales on the full batch (test CLI semantics)
+        _, mut = mq.apply(dict(vq, params=v0['params'],
+                               batch_stats=v0['batch_stats']),
+                          x, None, return_loss=False,
+                          mutable=['quant_stats'])
+        vq = dict(v0, quant_stats=mut['quant_stats'])
+
+        s0 = np.asarray(m0.apply(v0, x, None, return_loss=False))
+        sq = np.asarray(mq.apply(vq, x, None, return_loss=False))
+
+        order = np.argsort(s0, axis=-1)
+        top1, top2 = order[:, -1], order[:, -2]
+        idx = np.arange(len(s0))
+        margin = s0[idx, top1] - s0[idx, top2]
+        d = np.abs(sq - s0)
+        pair_drift = d[idx, top1] + d[idx, top2]
+        assert (s0.argmax(-1) == sq.argmax(-1)).all()
+        assert (pair_drift < margin).all(), \
+            (pair_drift.max(), margin.min())
+        print('min margin/drift headroom:',
+              float((margin / np.maximum(pair_drift, 1e-9)).min()))
+
 
 class TestCalibrationGuard:
     """ADVICE r2: static eval must not silently run on init-only scales."""

@@ -23,7 +23,8 @@ FAMILIES = {
 
 
 def bench_family(name, cfg_path, clip_len, k_pair, reps,
-                 size=256, views=3, view_chunk=None, fast_pack=0):
+                 size=256, views=3, view_chunk=None, fast_pack=0,
+                 quant=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -37,6 +38,8 @@ def bench_family(name, cfg_path, clip_len, k_pair, reps,
     if fast_pack:
         model_cfg['backbone'] = dict(model_cfg['backbone'],
                                      fast_pack=fast_pack)
+    if quant:
+        model_cfg['backbone'] = dict(model_cfg['backbone'], quant=quant)
     test_cfg = dict(average_clips='prob')
     if view_chunk:
         test_cfg['view_chunk'] = view_chunk
@@ -49,6 +52,11 @@ def bench_family(name, cfg_path, clip_len, k_pair, reps,
         jax.random.PRNGKey(0))
     variables = model.init(jax.random.PRNGKey(0), x, None,
                            return_loss=False, train=False)
+    if quant == 'int8_static':
+        # calibrate static activation scales on the bench input
+        _, mut = model.apply(variables, x, None, return_loss=False,
+                             mutable=['quant_stats'])
+        variables = dict(variables, quant_stats=mut['quant_stats'])
 
     @jax.jit
     def run(v, imgs, k):
@@ -97,13 +105,17 @@ def main():
     p.add_argument('--fast-pack', type=int, default=0,
                    help='SlowFast fast-pathway time-to-channel pack factor '
                         '(backbone.fast_pack; ignored by other families)')
+    p.add_argument('--quant', choices=['int8', 'int8_static'], default=None,
+                   help='eval-only int8 conv path (per-layer-TYPE masked: '
+                        'I3D spatial-only, X3D pointwise-only)')
     args = p.parse_args()
     for name in args.families:
         cfg_path, clip_len = FAMILIES[name]
         bench_family(name, cfg_path, args.clip_len or clip_len,
                      tuple(args.k), args.reps, size=args.size,
                      views=args.views, view_chunk=args.view_chunk,
-                     fast_pack=args.fast_pack if 'slowfast' in name else 0)
+                     fast_pack=args.fast_pack if 'slowfast' in name else 0,
+                     quant=args.quant)
 
 
 if __name__ == '__main__':

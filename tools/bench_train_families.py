@@ -23,7 +23,8 @@ FAMILIES = {
 }
 
 
-def bench_family(name, cfg_path, k_pair, reps, batch=None, size=224):
+def bench_family(name, cfg_path, k_pair, reps, batch=None, size=224,
+                 fast_pack=0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -35,6 +36,9 @@ def bench_family(name, cfg_path, k_pair, reps, batch=None, size=224):
     on_tpu = jax.default_backend() == 'tpu'
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     cfg = Config.fromfile(cfg_path)
+    if fast_pack:
+        cfg.model['backbone'] = dict(cfg.model['backbone'],
+                                     fast_pack=fast_pack)
     model = build_recognizer(dict(cfg.model, dtype=dtype),
                              train_cfg=dict(cfg.get('train_cfg') or {}),
                              test_cfg=dict(cfg.test_cfg))
@@ -104,10 +108,14 @@ def main():
     p.add_argument('--batch', type=int, default=None,
                    help='override videos_per_gpu')
     p.add_argument('--size', type=int, default=224)
+    p.add_argument('--fast-pack', type=int, default=0,
+                   help='SlowFast fast-pathway T->C pack factor '
+                        '(ignored by other families)')
     args = p.parse_args()
     for name in args.families:
         bench_family(name, FAMILIES[name], tuple(args.k), args.reps,
-                     batch=args.batch, size=args.size)
+                     batch=args.batch, size=args.size,
+                     fast_pack=args.fast_pack if 'slowfast' in name else 0)
 
 
 if __name__ == '__main__':

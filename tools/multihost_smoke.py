@@ -95,8 +95,62 @@ def main():
         np.asarray(gathered).reshape(-1, 4), nproc, 6)
     expect_ranks = [i % nproc for i in range(6)]
     assert [int(r[0]) for r in ordered] == expect_ranks, ordered[:, 0]
-    print(f'[p{pid}] allgather + reorder OK; MULTIHOST_SMOKE_PASS',
-          flush=True)
+    print(f'[p{pid}] allgather + reorder OK', flush=True)
+
+    # full cross-process train -> checkpoint -> restore -> eval cycle
+    # (reference parity: core/test.py dist eval after a resumed run).
+    ckpt_dir = os.environ.get('MULTIHOST_CKPT_DIR')
+    if ckpt_dir:
+        from flax import serialization
+        from mvfnet_tpu.utils.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+        path = os.path.join(ckpt_dir, 'smoke.msgpack')
+        # rank 0 writes (save_checkpoint no-ops elsewhere); barrier so
+        # other processes don't read a half-written file
+        save_checkpoint(path, state.variables(), opt_state=state.opt_state,
+                        meta={'epoch': 1, 'iter': int(state.step)})
+        multihost_utils.sync_global_devices('ckpt_saved')
+
+        # eval scores from the live state (deterministic input, same
+        # everywhere) — the restored model must reproduce them bit-exactly
+        eval_x = jnp.asarray(
+            np.random.RandomState(7).randn(2, 2, 32, 32, 3), jnp.float32)
+        ref_scores = np.asarray(model.apply(
+            {'params': state.params, 'batch_stats': state.batch_stats},
+            eval_x, None, return_loss=False))
+
+        variables_sd, opt_sd, meta = load_checkpoint(path)
+        restored = TrainState(
+            params=serialization.from_state_dict(
+                jax.device_get(state.params), variables_sd['params']),
+            batch_stats=serialization.from_state_dict(
+                jax.device_get(state.batch_stats),
+                variables_sd['batch_stats']),
+            opt_state=serialization.from_state_dict(
+                jax.device_get(state.opt_state), opt_sd),
+            step=jnp.asarray(meta['iter'], jnp.int32))
+        restored = replicate(restored, mesh)
+        got_scores = np.asarray(model.apply(
+            {'params': restored.params,
+             'batch_stats': restored.batch_stats},
+            eval_x, None, return_loss=False))
+        assert np.array_equal(ref_scores, got_scores), \
+            np.abs(ref_scores - got_scores).max()
+        # the restored state must train on, synchronized, from where the
+        # original left off (optimizer momentum restored too)
+        restored, rmetrics = step(restored, batch['img_group'],
+                                  batch['label'], jax.random.PRNGKey(2))
+        state, cmetrics = step(state, batch['img_group'], batch['label'],
+                               jax.random.PRNGKey(2))
+        rloss = float(np.asarray(rmetrics['loss']))
+        closs = float(np.asarray(cmetrics['loss']))
+        assert abs(rloss - closs) < 1e-6, (rloss, closs)
+        assert int(restored.step) == int(state.step), \
+            (int(restored.step), int(state.step))
+        print(f'[p{pid}] ckpt cycle OK, post-restore loss={rloss:.4f}',
+              flush=True)
+
+    print(f'[p{pid}] MULTIHOST_SMOKE_PASS', flush=True)
 
 
 if __name__ == '__main__':
