@@ -76,6 +76,80 @@ def avg_pool3d(x, kernel, stride, padding=(0, 0, 0),
     return summed / counts
 
 
+class _SpaceToDepthStem3D(nn.Module):
+    """(kt,7,7)/s(st,2,2)/p(pt,3,3) stem conv in spatial space-to-depth form.
+
+    3-D extension of the flagship's ``_SpaceToDepthStem``
+    (``resnet.py:240``): the temporal taps are untouched; the spatial
+    7x7/s2 conv is re-expressed as a 4x4/s1 conv over 2x2 pixel blocks
+    folded into channels, raising the MXU contraction minor dim from
+    C=3 to 4C=12. Bit-exact to the plain conv (tests/test_i3d.py), and
+    the parameter stays the plain ``(kt,7,7,C,F)`` ``conv1/kernel`` so
+    checkpoints are unaffected.
+
+    Motivation (``tools/bench_stem3d.py``, v5e, batch 8 x 32f @224):
+    the plain I3D stem alone is 22.0 ms fwd / 30.0 ms fwd+bwd of a
+    44.1 ms full-backbone train step; this form runs 8.8 / 18.8 ms.
+    """
+    features: int
+    kernel_t: int
+    stride_t: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import jax
+        n, t, h, w, c = x.shape
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (self.kernel_t, 7, 7, c, self.features),
+                            jnp.float32)
+        k = kernel.astype(self.dtype) if self.dtype else kernel
+        x = x.astype(k.dtype)
+        # kernel: top/left zero-pad spatial taps to 8x8, fold 2x2 -> channel
+        k = jnp.pad(k, [(0, 0), (1, 0), (1, 0), (0, 0), (0, 0)])
+        k = k.reshape(self.kernel_t, 4, 2, 4, 2, c, self.features)
+        k = k.transpose(0, 1, 3, 2, 4, 5, 6).reshape(
+            self.kernel_t, 4, 4, 4 * c, self.features)
+        # input: spatial pad (4,4) (3 from the conv +1 for the kernel
+        # shift, +1 right/bottom for even blocking; surplus output
+        # row/col cropped below), fold 2x2 blocks -> channels
+        xp = jnp.pad(x, [(0, 0), (0, 0), (4, 4), (4, 4), (0, 0)])
+        hp, wp = h + 8, w + 8
+        xp = xp.reshape(n, t, hp // 2, 2, wp // 2, 2, c)
+        xp = xp.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            n, t, hp // 2, wp // 2, 4 * c)
+        pt = (self.kernel_t - 1) // 2
+        out = jax.lax.conv_general_dilated(
+            xp, k, window_strides=(self.stride_t, 1, 1),
+            padding=((pt, pt), (0, 0), (0, 0)),
+            dimension_numbers=('NDHWC', 'DHWIO', 'NDHWC'))
+        return out[:, :, :h // 2, :w // 2]
+
+
+def stem_conv3d(features: int, kernel: Tuple[int, int, int],
+                stride: Tuple[int, int, int], padding: Tuple[int, int, int],
+                name: str, dtype, s2d, in_shape,
+                train: bool = False) -> nn.Module:
+    """Stem conv dispatcher: s2d form when requested AND applicable
+    (7x7 spatial taps, stride 2, symmetric pad 3, even H/W).
+
+    ``s2d`` is False / True / ``'train'``. ``'train'`` selects the s2d
+    form only inside the training step: the two forms are bit-exact on
+    the same parameter, and the e2e measurements went opposite ways by
+    phase (SlowFast train −28 ms/step, eval −3%; DESIGN.md "3-D stem
+    space-to-depth"), so each jitted program gets its best form."""
+    kt, kh, kw = kernel
+    st, sh, sw_ = stride
+    want = s2d is True or (s2d == 'train' and train)
+    applicable = (want and (kh, kw) == (7, 7) and (sh, sw_) == (2, 2)
+                  and padding[1:] == (3, 3)
+                  and in_shape[2] % 2 == 0 and in_shape[3] % 2 == 0)
+    if applicable:
+        return _SpaceToDepthStem3D(features=features, kernel_t=kt,
+                                   stride_t=st, dtype=dtype, name=name)
+    return conv3d(features, kernel, stride, padding, name=name, dtype=dtype)
+
+
 class Bottleneck3D(nn.Module):
     """Reference ``resnet_i3d.py:130-325``."""
     inplanes: int
@@ -281,6 +355,14 @@ class ResNet_I3D(nn.Module):
     quant: Optional[str] = None
     quant_stages: Sequence[int] = (1, 1, 1, 1)
     quant_ops: Sequence[str] = ('spatial',)
+    # bit-exact space-to-depth stem (see _SpaceToDepthStem3D), same
+    # param tree: False / True / 'train'. Default OFF for I3D — the
+    # isolated probe won 2.5x but e2e LOST (train 182.9 -> 178.4,
+    # eval 520 -> 432 clips/s; DESIGN.md "3-D stem space-to-depth"):
+    # in-context XLA already lays out the plain stem better than the
+    # isolated compile suggested. Kept as a tested option + recorded
+    # refutation (the X3D-s2d pattern).
+    stem_s2d: Union[bool, str] = False
     dtype: Dtype = jnp.float32
 
     arch_settings = {
@@ -319,9 +401,10 @@ class ResNet_I3D(nn.Module):
             inplanes = sw * 2
         else:
             pad = tuple((k - 1) // 2 for k in self.conv1_kernel)
-            x = conv3d(64, tuple(self.conv1_kernel),
-                       (self.conv1_stride_t, 2, 2), pad, name='conv1',
-                       dtype=self.dtype)(x)
+            x = stem_conv3d(64, tuple(self.conv1_kernel),
+                            (self.conv1_stride_t, 2, 2), pad, name='conv1',
+                            dtype=self.dtype, s2d=self.stem_s2d,
+                            in_shape=x.shape, train=train)(x)
             inplanes = 64
         x = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
             x, use_running_average=use_ra)

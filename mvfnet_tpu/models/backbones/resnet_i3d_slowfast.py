@@ -24,7 +24,8 @@ from ...ops.tpack import pack_t, unpack_t
 from ..builder import BACKBONES
 from ..common import make_norm
 from .packed3d import PackedBottleneck3D
-from .resnet_i3d import BasicBlock3D, Bottleneck3D, conv3d, max_pool3d
+from .resnet_i3d import (BasicBlock3D, Bottleneck3D, conv3d, max_pool3d,
+                         stem_conv3d)
 
 Dtype = Any
 
@@ -61,6 +62,14 @@ class ResNet_I3D_SlowFast(nn.Module):
     pretrained_slow: Optional[str] = None
     pretrained_fast: Optional[str] = None
     fast_pack: int = 0
+    # bit-exact space-to-depth pathway stems (resnet_i3d.stem_conv3d):
+    # False / True / 'train'. Default 'train' — measured on v5e, s2d
+    # stems cut the train step 143 -> 115.8 ms (-19%; with fast_pack=8,
+    # 76.1 ms, +89% clips/s vs the round-2 baseline) but cost ~3% at
+    # dense-eval shapes, so only the jitted TRAIN program uses the s2d
+    # form (exactness makes the per-phase split legal); DESIGN.md
+    # "3-D stem space-to-depth".
+    stem_s2d: Union[bool, str] = 'train'
     dtype: Dtype = jnp.float32
 
     arch_settings = {
@@ -72,10 +81,11 @@ class ResNet_I3D_SlowFast(nn.Module):
     }
 
     def _stem(self, x, prefix, channels, kernel_t, stride_t, pool_kernel_t,
-              pool_stride_t, use_ra):
-        x = conv3d(channels, (kernel_t, 7, 7), (stride_t, 2, 2),
-                   ((kernel_t - 1) // 2, 3, 3), name=f'{prefix}_conv1',
-                   dtype=self.dtype)(x)
+              pool_stride_t, use_ra, train):
+        x = stem_conv3d(channels, (kernel_t, 7, 7), (stride_t, 2, 2),
+                        ((kernel_t - 1) // 2, 3, 3), name=f'{prefix}_conv1',
+                        dtype=self.dtype, s2d=self.stem_s2d,
+                        in_shape=x.shape, train=train)(x)
         x = make_norm(self.norm_cfg, name=f'{prefix}_bn1', dtype=self.dtype)(
             x, use_running_average=use_ra)
         x = nn.relu(x)
@@ -152,14 +162,14 @@ class ResNet_I3D_SlowFast(nn.Module):
                                 self.slow_conv1_kernel_t,
                                 self.slow_conv1_stride_t,
                                 self.slow_pool1_kernel_t,
-                                self.slow_pool1_stride_t, use_ra)
+                                self.slow_pool1_stride_t, use_ra, train)
         pack = 0
         if not self.slow_only:
             x_fast = self._stem(x[:, ::self.tau // self.alpha], 'fast',
                                 64 // beta, self.fast_conv1_kernel_t,
                                 self.fast_conv1_stride_t,
                                 self.fast_pool1_kernel_t,
-                                self.fast_pool1_stride_t, use_ra)
+                                self.fast_pool1_stride_t, use_ra, train)
             pack = self._fast_pack_factor(x_fast.shape[1])
         if two_path:
             lat = self._lateral(x_fast, 64 * 2 // beta, 'slow_conv1_lateral')

@@ -24,7 +24,7 @@ FAMILIES = {
 
 def bench_family(name, cfg_path, clip_len, k_pair, reps,
                  size=256, views=3, view_chunk=None, fast_pack=0,
-                 quant=None):
+                 quant=None, quant_stages=None, quant_ops=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -40,6 +40,10 @@ def bench_family(name, cfg_path, clip_len, k_pair, reps,
                                      fast_pack=fast_pack)
     if quant:
         model_cfg['backbone'] = dict(model_cfg['backbone'], quant=quant)
+        if quant_stages is not None:
+            model_cfg['backbone']['quant_stages'] = tuple(quant_stages)
+        if quant_ops is not None:
+            model_cfg['backbone']['quant_ops'] = tuple(quant_ops)
     test_cfg = dict(average_clips='prob')
     if view_chunk:
         test_cfg['view_chunk'] = view_chunk
@@ -108,6 +112,11 @@ def main():
     p.add_argument('--quant', choices=['int8', 'int8_static'], default=None,
                    help='eval-only int8 conv path (per-layer-TYPE masked: '
                         'I3D spatial-only, X3D pointwise-only)')
+    p.add_argument('--quant-stages', type=int, nargs='+', default=None,
+                   help='per-stage 0/1 quant mask (backbone default if unset)')
+    p.add_argument('--quant-ops', nargs='+', default=None,
+                   choices=['spatial', 'temporal', 'pointwise'],
+                   help='conv TYPES to quantize (backbone default if unset)')
     args = p.parse_args()
     for name in args.families:
         cfg_path, clip_len = FAMILIES[name]
@@ -115,7 +124,8 @@ def main():
                      tuple(args.k), args.reps, size=args.size,
                      views=args.views, view_chunk=args.view_chunk,
                      fast_pack=args.fast_pack if 'slowfast' in name else 0,
-                     quant=args.quant)
+                     quant=args.quant, quant_stages=args.quant_stages,
+                     quant_ops=args.quant_ops)
 
 
 if __name__ == '__main__':
