@@ -240,6 +240,23 @@ class TestViewChunkWarning:
         x = jnp.zeros((1, 6, 8, 32, 32, 3))
         v = model.init(jax.random.PRNGKey(0), x, None, return_loss=False,
                        train=False)
-        with caplog.at_level(logging.WARNING):
-            model.apply(v, x, None, return_loss=False)
-        assert any('view_chunk' in r.message for r in caplog.records)
+        # attach a handler directly to the emitting logger: when any
+        # earlier test initialized get_root_logger(), the 'mvfnet_tpu'
+        # parent has propagate=False and caplog's root handler would
+        # never see the record (order-dependent false failure)
+        records = []
+
+        class _Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        lg = logging.getLogger(
+            'mvfnet_tpu.models.recognizers.recognizer3d')
+        h = _Capture(level=logging.WARNING)
+        lg.addHandler(h)
+        try:
+            with caplog.at_level(logging.WARNING):
+                model.apply(v, x, None, return_loss=False)
+        finally:
+            lg.removeHandler(h)
+        assert any('view_chunk' in r.getMessage() for r in records)

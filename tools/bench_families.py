@@ -54,7 +54,13 @@ def bench_family(name, cfg_path, clip_len, k_pair, reps,
     # box's network relay would dominate the benchmark setup time
     x = jax.jit(lambda k: jax.random.normal(k, shape, jnp.float32))(
         jax.random.PRNGKey(0))
-    variables = model.init(jax.random.PRNGKey(0), x, None,
+    # init at ONE view: flax init executes un-jitted (op-by-op through
+    # the device relay), which at 60+ views dominated wall-clock and
+    # blew past the benchmark timeout; params/stats don't depend on the
+    # folded view count
+    x_init = jax.jit(lambda k: jax.random.normal(
+        k, (1, 1) + shape[2:], jnp.float32))(jax.random.PRNGKey(1))
+    variables = model.init(jax.random.PRNGKey(0), x_init, None,
                            return_loss=False, train=False)
     if quant == 'int8_static':
         # calibrate static activation scales on the bench input
