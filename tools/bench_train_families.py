@@ -24,7 +24,7 @@ FAMILIES = {
 
 
 def bench_family(name, cfg_path, k_pair, reps, batch=None, size=224,
-                 fast_pack=0):
+                 fast_pack=0, stem_s2d=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -39,6 +39,9 @@ def bench_family(name, cfg_path, k_pair, reps, batch=None, size=224,
     if fast_pack:
         cfg.model['backbone'] = dict(cfg.model['backbone'],
                                      fast_pack=fast_pack)
+    if stem_s2d is not None:
+        cfg.model['backbone'] = dict(cfg.model['backbone'],
+                                     stem_s2d=stem_s2d)
     model = build_recognizer(dict(cfg.model, dtype=dtype),
                              train_cfg=dict(cfg.get('train_cfg') or {}),
                              test_cfg=dict(cfg.test_cfg))
@@ -111,11 +114,19 @@ def main():
     p.add_argument('--fast-pack', type=int, default=0,
                    help='SlowFast fast-pathway T->C pack factor '
                         '(ignored by other families)')
+    p.add_argument('--stem-s2d', default=None,
+                   choices=['off', 'on', 'train'],
+                   help="override backbone.stem_s2d (I3D/SlowFast): 'off' "
+                        "reproduces the plain-stem baseline, 'train'/'on' "
+                        "the s2d forms (DESIGN.md '3-D stem space-to-depth')")
     args = p.parse_args()
+    s2d = {None: None, 'off': False, 'on': True,
+           'train': 'train'}[args.stem_s2d]
     for name in args.families:
         bench_family(name, FAMILIES[name], tuple(args.k), args.reps,
                      batch=args.batch, size=args.size,
-                     fast_pack=args.fast_pack if 'slowfast' in name else 0)
+                     fast_pack=args.fast_pack if 'slowfast' in name else 0,
+                     stem_s2d=None if 'x3d' in name else s2d)
 
 
 if __name__ == '__main__':
