@@ -60,21 +60,36 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     return None
 
 
-_lib = _load_lib()
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    """Lazily load (and retry) the native library.
+
+    Loading must not be cached at import time: the ``.so`` may be built
+    after this module is first imported (e.g. by a test fixture running
+    ``make -C native`` mid-suite). A successful load is cached; a miss is
+    re-probed on every call — the probe is just ``os.path.exists``.
+    """
+    global _lib
+    if _lib is None:
+        _lib = _load_lib()
+    return _lib
 
 
 def available() -> bool:
-    return _lib is not None
+    return _get_lib() is not None
 
 
 class NativeImageLoader:
     """Per-image and batch JPEG decoding through the native worker."""
 
     def __init__(self, num_threads: Optional[int] = None):
-        if _lib is None:
+        lib = _get_lib()
+        if lib is None:
             raise RuntimeError('native library not built '
                                '(run: make -C native)')
-        self.lib = _lib
+        self.lib = lib
         self.num_threads = num_threads or min(os.cpu_count() or 1, 8)
 
     def probe(self, path: str):
@@ -129,10 +144,11 @@ class NativeVideoDecoder:
     (``native/video_decoder.cpp``)."""
 
     def __init__(self):
-        if _lib is None or not hasattr(_lib, 'mvf_video_probe'):
+        lib = _get_lib()
+        if lib is None or not hasattr(lib, 'mvf_video_probe'):
             raise RuntimeError('native video decoder not built '
                                '(run: make -C native)')
-        self.lib = _lib
+        self.lib = lib
 
     def probe(self, path: str):
         n = ctypes.c_long()
