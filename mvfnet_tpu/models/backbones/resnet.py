@@ -29,8 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from ..builder import BACKBONES
-from ..common import (avg_pool_torch, conv2d, make_norm,
-                      max_pool_same_as_torch)
+from ..common import (BNStatsParam, avg_pool_torch, bn_affine, conv2d,
+                      make_norm, max_pool_same_as_torch)
 from ..modules.mvf import MVF
 
 Dtype = Any
@@ -100,6 +100,7 @@ class Bottleneck(nn.Module):
     temporal_cfg: Optional[Dict] = None
     dtype: Dtype = jnp.float32
     quant: Optional[str] = None
+    quant_carry: bool = True
 
     expansion = 4
 
@@ -119,6 +120,38 @@ class Bottleneck(nn.Module):
                     and self.temporal_cfg.get('type') == 'CoST' else None)
         is_mvf = (self.temporal_cfg is not None
                   and self.temporal_cfg.get('type') == 'MVF')
+        # Integer-carry int8 pipeline (DESIGN.md "Int8 integer carry"):
+        # conv1/conv2/conv3 exchange int8 activations directly, folding the
+        # BN affines + ReLUs + requantization into one int32->int8 pass
+        # each. Same math and same variable tree as the unfused path, which
+        # still runs during init and calibration (mutable quant_stats) so
+        # act_amax records the true conv inputs.
+        use_carry = (self.quant == 'int8_static' and self.quant_carry
+                     and not self.is_mutable_collection('quant_stats')
+                     and not avd and cost_cfg is None
+                     and self.temporal_cfg is None)
+        if use_carry:
+            out = conv2d(self.planes, 1, stride=conv1_stride, name='conv1',
+                         dtype=self.dtype, quant=self.quant,
+                         carry_out=True)(x)
+            a1, b1 = bn_affine(*BNStatsParam(self.planes, name='bn1')())
+            out = conv2d(self.planes, 3, stride=conv2_stride,
+                         padding=self.dilation, dilation=self.dilation,
+                         name='conv2', dtype=self.dtype, quant=self.quant,
+                         carry_out=True)(out, prev_affine=(a1, b1))
+            a2, b2 = bn_affine(*BNStatsParam(self.planes, name='bn2')())
+            out = conv2d(self.planes * self.expansion, 1, name='conv3',
+                         dtype=self.dtype,
+                         quant=self.quant)(out, prev_affine=(a2, b2))
+            out = make_norm(self.norm_cfg, name='bn3', dtype=self.dtype)(
+                out, use_running_average=use_ra)
+            identity = x
+            if self.with_downsample:
+                identity = _downsample(x, self.planes * self.expansion,
+                                       self.stride, self.dilation,
+                                       self.avg_down, self.norm_cfg, use_ra,
+                                       self.dtype, quant=self.quant)
+            return nn.relu(out + identity)
         identity = x
         if is_mvf:
             # MVF + split conv1: the untouched (1-alpha) channels stream
@@ -369,6 +402,11 @@ class ResNet(nn.Module):
     # (tests/test_quant_int8.py).
     quant: Optional[str] = None
     quant_stages: Sequence[int] = (1, 1, 1, 1)
+    # integer-carry pipeline for int8_static (adjacent quantized convs
+    # exchange int8 through folded BN+ReLU epilogues — same math, fewer
+    # HBM passes; see IntCarry in common.py). On by default; set False to
+    # run the literal dequant->BN->relu->requant form.
+    quant_carry: bool = True
     # additionally quantize the s2d stem conv (excluded by default: the
     # first conv sees raw normalized pixels and its drift propagates
     # through every stage; flip on to measure — 2.04 of 28.1 ms e2e)
@@ -461,7 +499,8 @@ class ResNet(nn.Module):
                     name=f'layer{i + 1}_{j}',
                 )
                 if block_cls is Bottleneck:
-                    kwargs.update(avd=self.avd, avd_first=self.avd_first)
+                    kwargs.update(avd=self.avd, avd_first=self.avd_first,
+                                  quant_carry=self.quant_carry)
                 # with_cp (activation rematerialization) is applied at the
                 # train-step level via jax.checkpoint policies; block-level
                 # remat is unnecessary under XLA.

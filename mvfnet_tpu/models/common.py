@@ -7,7 +7,7 @@ Flax modules with fp32 params and a configurable compute dtype.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -63,11 +63,14 @@ def conv2d(features: int,
            use_bias: bool = False,
            name: Optional[str] = None,
            dtype: Dtype = jnp.float32,
-           quant: Optional[str] = None) -> nn.Module:
+           quant: Optional[str] = None,
+           carry_out: bool = False) -> nn.Module:
     """torch-semantics Conv2d on NHWC input (explicit symmetric padding).
 
     ``quant='int8'`` swaps in :class:`QuantConv2d` (same param tree) —
-    eval-only int8 MXU path, see that class's docstring."""
+    eval-only int8 MXU path, see that class's docstring. ``carry_out``
+    (quant only) returns the :class:`IntCarry` accumulator for the
+    integer-carry pipeline."""
     if isinstance(kernel_size, int):
         kernel_size = (kernel_size, kernel_size)
     if isinstance(stride, int):
@@ -81,7 +84,10 @@ def conv2d(features: int,
                            strides=stride, padding=padding,
                            dilation=dilation, use_bias=use_bias,
                            static=(quant == 'int8_static'),
+                           carry_out=carry_out,
                            dtype=dtype, name=name)
+    if carry_out:
+        raise ValueError('carry_out requires a quant mode')
     if quant is not None:
         raise ValueError(f'unknown quant mode {quant!r}')
     return nn.Conv(features=features, kernel_size=kernel_size,
@@ -130,6 +136,27 @@ def _act_quant(mod: nn.Module, stat_name: str, xf: jnp.ndarray,
     return sx, xq
 
 
+class IntCarry(NamedTuple):
+    """An int32 conv accumulator carried between adjacent quantized convs.
+
+    ``acc`` is the raw MXU int32 output of the producing conv; ``scale``
+    is its per-output-channel dequantization factor (``sx * sw``). The
+    consuming :class:`QuantConv2d` folds the intervening BN affine + ReLU
+    + its own input quantization into ONE elementwise pass over ``acc``
+    (int32 -> int8), instead of dequantize -> BN -> relu -> requantize
+    round trips through the compute dtype — the "requant HBM tax"
+    measured in DESIGN.md ("Int8 in-situ gap profiled").
+    """
+    acc: jnp.ndarray     # int32, NHWC
+    scale: jnp.ndarray   # f32, (C,)
+
+
+def bn_affine(scale, bias, mean, var, eps: float = BN_EPS):
+    """Eval-mode BatchNorm as a per-channel affine: y = a*x + b."""
+    a = scale / jnp.sqrt(var + eps)
+    return a, bias - a * mean
+
+
 class QuantConv2d(nn.Module):
     """Int8-quantized eval conv, checkpoint-compatible with ``nn.Conv``.
 
@@ -150,6 +177,20 @@ class QuantConv2d(nn.Module):
       reduction on the hot path. Calibrate by initializing (or applying
       with ``mutable=['quant_stats']``) on representative batches first.
 
+    Integer carry (``carry_out`` / :class:`IntCarry` input): with static
+    scales, adjacent quantized convs exchange int8 activations directly.
+    A conv called with ``carry_out=True`` returns the raw int32
+    accumulator + its dequant scale; the next conv receives that
+    :class:`IntCarry` plus the intervening BN's eval affine
+    (``prev_affine=(a, b)``) and performs fold + ReLU + requantization as
+    one int32->int8 pass using its own calibrated ``act_amax`` — no
+    float-domain round trip. Mathematically identical to the unfused
+    path (same scales, same rounding points, ReLU commutes with the
+    positive scale; the only difference is the f32-vs-compute-dtype
+    precision of the intermediate, which is *higher* here). Requires
+    ``static=True`` and a prior calibration pass (the unfused path runs
+    during calibration so ``act_amax`` records the true conv input).
+
     Eval-only — gradients through the rounding are meaningless and the
     owning backbone must reject train mode.
     """
@@ -160,12 +201,13 @@ class QuantConv2d(nn.Module):
     dilation: int = 1
     use_bias: bool = False
     static: bool = False
+    carry_out: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x, prev_affine=None):
         import jax
-        in_ch = x.shape[-1]
+        in_ch = (x.acc if isinstance(x, IntCarry) else x).shape[-1]
         kernel = self.param(
             'kernel', nn.initializers.lecun_normal(),
             self.kernel_size + (in_ch, self.features), jnp.float32)
@@ -173,14 +215,38 @@ class QuantConv2d(nn.Module):
         sw = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
         sw = jnp.maximum(sw, 1e-12)
         wq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
-        # per-tensor symmetric activation quantization
-        xf = x.astype(jnp.float32)
-        sx, xq = _act_quant(self, 'act_amax', xf, self.static)
+        if isinstance(x, IntCarry):
+            # fold previous BN + ReLU + our input quantization into one
+            # int32 -> int8 pass (see class docstring)
+            if not self.static or prev_affine is None:
+                raise ValueError('IntCarry input needs static=True and the '
+                                 'previous BN affine')
+            if not self.has_variable('quant_stats', 'act_amax'):
+                raise ValueError(
+                    "int8 carry needs calibrated activation scales: apply "
+                    "with mutable=['quant_stats'] on representative batches "
+                    'first (the unfused path runs during calibration)')
+            qs = self.variable('quant_stats', 'act_amax',
+                               lambda: jnp.zeros((), jnp.float32))
+            sx = jnp.maximum(qs.value / 127.0, 1e-12)
+            a, b = prev_affine
+            m = (a * x.scale) / sx                       # (C_in,)
+            z = x.acc.astype(jnp.float32) * m + (b / sx)
+            # ReLU folds into the lower clip bound (sx > 0)
+            xq = jnp.clip(jnp.round(z), 0, 127).astype(jnp.int8)
+        else:
+            # per-tensor symmetric activation quantization
+            xf = x.astype(jnp.float32)
+            sx, xq = _act_quant(self, 'act_amax', xf, self.static)
         y = jax.lax.conv_general_dilated(
             xq, wq, self.strides, self.padding,
             rhs_dilation=(self.dilation, self.dilation),
             dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
             preferred_element_type=jnp.int32)
+        if self.carry_out:
+            if self.use_bias:
+                raise ValueError('carry_out with bias is unsupported')
+            return IntCarry(y, sx * sw)
         out = y.astype(jnp.float32) * (sx * sw)
         if self.use_bias:
             bias = self.param('bias', nn.initializers.zeros,
