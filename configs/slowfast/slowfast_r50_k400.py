@@ -1,10 +1,24 @@
-"""SlowFast R50 K400 (tau=16, alpha=8, beta_inv=8)."""
+"""SlowFast R50 K400 (tau=16, alpha=8, beta_inv=8).
+
+Ships the tuned TPU execution form by default: ``fast_pack=8``
+(time-to-channel packed fast pathway, ``ops/tpack.py``) on top of the
+backbone-default ``stem_s2d='train'`` space-to-depth stems. Both are
+exact reformulations — same param tree, checkpoints interchangeable,
+eval scores bit-identical (tests/test_fast_pack.py,
+tests/test_stem_s2d.py, tests/test_multichip_slowfast.py) — measured at
+105.2 train clips/s/chip vs 55.7 unpacked (docs/DESIGN.md). Escape
+hatch: ``--cfg-options model.backbone.fast_pack=0`` restores the
+unpacked graph.
+
+Reference recipe:
+``/root/reference/codes/models/backbones/resnet_i3d_slowfast.py:83-207``.
+"""
 import os
 
 model = dict(
     type='Recognizer3D',
     backbone=dict(type='ResNet_I3D_SlowFast', depth=50, tau=16, alpha=8,
-                  beta_inv=8, out_indices=(3,),
+                  beta_inv=8, fast_pack=8, out_indices=(3,),
                   slow_inflate_freq=(0, 0, 1, 1),
                   fast_inflate_freq=(1, 1, 1, 1), norm_eval=False,
                   norm_cfg=dict(type='BN3d', requires_grad=True)),
