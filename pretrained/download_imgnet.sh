@@ -9,7 +9,11 @@ set -euo pipefail
 cd "$(dirname "$0")"
 
 BASE=https://github.com/whwu95/MVFNet/releases/download/v0.1
-# sha256 of the reference-released ImageNet checkpoints
+# sha256 of the reference-released ImageNet checkpoints. UNSET: this repo
+# was built in a zero-egress environment, so the digests could not be
+# computed. On first fetch from a trusted network, fill them in
+# (sha256sum resnet50.pth) to pin future downloads; until then the script
+# WARNS that verification was skipped rather than silently passing.
 declare -A SHA256=(
   [resnet50.pth]=""
   [resnet101.pth]=""
@@ -25,6 +29,9 @@ for f in resnet50.pth resnet101.pth; do
   curl -L --fail -o "$f.tmp" "$BASE/$f"
   if [ -n "${SHA256[$f]}" ]; then
     echo "${SHA256[$f]}  $f.tmp" | sha256sum -c -
+  else
+    echo "WARNING: no pinned sha256 for $f — checksum verification" \
+         "SKIPPED (see comment above; fill in SHA256 to pin)" >&2
   fi
   mv "$f.tmp" "$f"
   echo "fetched $f"
