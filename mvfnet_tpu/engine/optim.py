@@ -6,7 +6,9 @@ Reference semantics reproduced:
   ``configs/...r50_dense.py:152-153``
 - paramwise options (bias_lr_mult / bias_decay_mult / norm_decay_mult,
   reference ``codes/core/train.py:79-156``), matched on flax param paths
-  (norm params are 'scale'/'bias' leaves of bn*/downsample_bn/MVF bn_*)
+  (norm params are 'scale'/'bias' leaves of bn*/MVF bn_*; downsample BN is
+  deliberately NOT a norm param — the reference's regex misses
+  ``downsample.1.*``, see ``_is_norm_param``)
 - grad clipping by global L2 norm (``optimizer_config.grad_clip``,
   ``dist_utils.py:52-67``)
 - step LR with gamma 0.1 at epoch milestones + linear iteration warmup from
@@ -39,11 +41,15 @@ def make_step_lr_schedule(base_lr: float,
 
     def schedule(step):
         step = jnp.asarray(step, jnp.int32)
+        # default float dtype (f32; f64 under jax_enable_x64 so the f64
+        # trajectory-parity tests see full-precision factors — JAX's
+        # int/int division would otherwise yield f32 even under x64)
+        fdt = jnp.result_type(float)
         decays = jnp.sum(step >= milestones)
-        lr = base_lr * (gamma ** decays)
+        lr = base_lr * (gamma ** decays.astype(fdt))
         if warmup == 'linear' and warmup_iters > 0:
             # mmcv: lr * (1 - (1 - ratio) * (1 - t/warmup_iters))
-            frac = jnp.minimum(step, warmup_iters) / warmup_iters
+            frac = jnp.minimum(step, warmup_iters).astype(fdt) / warmup_iters
             k = (1 - frac) * (1 - warmup_ratio)
             lr = jnp.where(step < warmup_iters, base_lr * (1 - k), lr)
         return lr
@@ -83,12 +89,24 @@ def _path_str(path) -> str:
 
 
 def _is_norm_param(path_s: str) -> bool:
-    # bn1/bn2/bn3/downsample_bn scale|bias, MVF bn_scale|bn_bias, GroupNorm
+    """Replicates the reference's norm-param detection, quirk included.
+
+    The reference classifies norm params with
+    ``re.search(r'(bn|gn)(\\d+)?.(weight|bias)', name)``
+    (``codes/core/train.py:143``) over torch names like ``bn1.weight`` or
+    the MVF module's ``conv1.bn.weight``. A residual downsample's BN is
+    named ``downsample.1.weight`` in torch — no 'bn' substring — so the
+    reference applies FULL weight decay to downsample BN even when
+    ``norm_decay_mult=0``. We keep that quirk (``downsample_bn`` is
+    labeled 'default', not 'norm') so paramwise trajectories match the
+    reference exactly; see tests/test_train_trajectory_parity.py."""
     last = path_s.rsplit('/', 1)[-1]
     if last in ('bn_scale', 'bn_bias'):
         return True
     if last in ('scale', 'bias'):
         parent = path_s.split('/')[-2] if '/' in path_s else ''
+        if parent == 'downsample_bn':
+            return False  # reference regex misses downsample.1.* (quirk)
         return 'bn' in parent or 'norm' in parent.lower()
     return False
 
@@ -124,6 +142,30 @@ def masked_labels(params, frozen_prefixes: Sequence[str] = ()) -> Any:
         return 'default'
 
     return jax.tree_util.tree_map_with_path(label, params)
+
+
+def clip_by_global_norm_torch(max_norm: float
+                              ) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics, epsilon included.
+
+    torch computes ``coef = max_norm / (total_norm + 1e-6)`` (clamped at
+    1.0) and always multiplies — optax's ``clip_by_global_norm`` omits the
+    1e-6, a ~1e-8-relative per-step difference that the f64 train
+    trajectory parity tests (tests/test_train_trajectory_parity.py)
+    resolve and reject. Reference: ``codes/core/dist_utils.py:52-67``
+    (OptimizerHook -> clip_grad_norm_)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        coef = jnp.minimum(max_norm / (g_norm + 1e-6), 1.0)
+        return jax.tree_util.tree_map(lambda g: g * coef, updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def sgd_torch(learning_rate: Callable, momentum: float = 0.9,
@@ -176,6 +218,6 @@ def build_optimizer(params,
     chain = []
     if grad_clip:
         assert grad_clip.get('norm_type', 2) == 2
-        chain.append(optax.clip_by_global_norm(grad_clip['max_norm']))
+        chain.append(clip_by_global_norm_torch(grad_clip['max_norm']))
     chain.append(tx)
     return optax.chain(*chain)

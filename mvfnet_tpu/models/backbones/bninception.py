@@ -24,7 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..builder import BACKBONES
-from ..common import conv2d
+from ..common import TorchBatchNorm, conv2d
 
 Dtype = Any
 
@@ -66,9 +66,8 @@ class _ConvBN(nn.Module):
         x = conv2d(self.features, self.kernel, stride=self.stride,
                    padding=self.padding, use_bias=True, name='conv',
                    dtype=self.dtype)(x)
-        x = nn.BatchNorm(momentum=_BN_MOMENTUM, epsilon=1e-5,
-                         dtype=self.dtype, param_dtype=jnp.float32,
-                         name='bn')(x, use_running_average=use_ra)
+        x = TorchBatchNorm(momentum=_BN_MOMENTUM, epsilon=1e-5,
+                           dtype=self.dtype, name='bn')(x, use_running_average=use_ra)
         return nn.relu(x)
 
 

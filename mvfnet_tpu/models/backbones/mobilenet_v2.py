@@ -58,7 +58,8 @@ class InvertedResidual(nn.Module):
                 if kind == 'MVF':
                     cfg.pop('n_div', None)
                     out = MVF(in_channels=self.inp, dtype=self.dtype,
-                              **cfg)(out, train=train)
+                              **cfg)(out, train=train,
+                                     norm_eval=norm_eval)
                 elif kind == 'tsm':
                     out = TemporalShift(
                         n_segment=cfg['n_segment'],

@@ -60,7 +60,7 @@ class BasicBlock(nn.Module):
         out = x
         if self.temporal_cfg:
             out = _build_temporal(self.temporal_cfg, self.inplanes,
-                                  self.dtype)(out, train=train)
+                                  self.dtype)(out, train=train, norm_eval=norm_eval)
         out = conv2d(self.planes, 3, stride=self.stride, padding=self.dilation,
                      dilation=self.dilation, name='conv1',
                      dtype=self.dtype, quant=self.quant)(out)
@@ -166,7 +166,8 @@ class Bottleneck(nn.Module):
                              quant=self.quant)(x)
             else:
                 y = MVF(in_channels=self.inplanes, concat=False,
-                        dtype=self.dtype, **cfg)(x, train=train)
+                        dtype=self.dtype, **cfg)(x, train=train,
+                                                 norm_eval=norm_eval)
                 out = _SplitPointwiseConv(
                     features=self.planes, split=cs,
                     in_channels=self.inplanes, stride=conv1_stride,
@@ -176,7 +177,7 @@ class Bottleneck(nn.Module):
             out = x
             if self.temporal_cfg and not cost_cfg:
                 out = _build_temporal(self.temporal_cfg, self.inplanes,
-                                      self.dtype)(out, train=train)
+                                      self.dtype)(out, train=train, norm_eval=norm_eval)
             out = conv2d(self.planes, 1, stride=conv1_stride, name='conv1',
                          dtype=self.dtype, quant=self.quant)(out)
         out = make_norm(self.norm_cfg, name='bn1', dtype=self.dtype)(
@@ -187,7 +188,7 @@ class Bottleneck(nn.Module):
         if cost_cfg:
             # CoST replaces conv2 of this block (CoST.py:38-42,104)
             out = _build_temporal(cost_cfg, self.planes,
-                                  self.dtype)(out, train=train)
+                                  self.dtype)(out, train=train, norm_eval=norm_eval)
         else:
             out = conv2d(self.planes, 3, stride=conv2_stride,
                          padding=self.dilation, dilation=self.dilation,

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..builder import BACKBONES
+from ..common import TorchBatchNorm
 from .resnet_i3d import conv3d, max_pool3d
 
 Dtype = Any
@@ -38,8 +39,8 @@ class _BN(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_ra: bool):
-        return nn.BatchNorm(momentum=0.9, epsilon=_BN_EPS, dtype=self.dtype,
-                            param_dtype=jnp.float32, name='bn')(
+        return TorchBatchNorm(momentum=0.9, epsilon=_BN_EPS,
+                              dtype=self.dtype, name='bn')(
             x, use_running_average=use_ra)
 
 

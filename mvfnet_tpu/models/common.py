@@ -22,6 +22,71 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with exact torch running-stat semantics.
+
+    Drop-in for ``flax.linen.BatchNorm`` (same variable tree: params
+    scale/bias, batch_stats mean/var; same ``use_running_average`` call
+    convention) with two torch-parity fixes flax does not offer:
+
+    - the running variance stores the UNBIASED batch variance
+      (``var * n/(n-1)``), exactly torch ``_BatchNorm`` (flax stores the
+      biased one — a per-step ``var/(n-1)`` drift that the f64 train
+      trajectory tests resolve, and that skews every eval after a real
+      training run);
+    - batch statistics are computed in ``promote_types(f32, x.dtype)``:
+      bf16 still promotes to f32, but f64 input keeps f64 (flax would
+      also hold f32 here).
+
+    Normalization itself uses the biased batch variance in train mode
+    (torch does too); only the stored EMA differs. Variance uses the
+    stable two-pass form ``E[(x-mean)^2]`` — see the use_fast_variance
+    note that used to live here (SyncBN divergence across mesh
+    shardings, tests/test_multichip_equivalence.py).
+    """
+    use_running_average: Optional[bool] = None
+    momentum: float = BN_MOMENTUM  # weight of the OLD stats (flax style)
+    epsilon: float = BN_EPS
+    dtype: Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: Optional[bool] = None) -> jnp.ndarray:
+        ura = nn.merge_param('use_running_average',
+                             self.use_running_average, use_running_average)
+        f = x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones, (f,),
+                           self.param_dtype)
+        bias = self.param('bias', nn.initializers.zeros, (f,),
+                          self.param_dtype)
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda: jnp.zeros((f,), jnp.float32))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda: jnp.ones((f,), jnp.float32))
+        stat_dtype = jnp.promote_types(jnp.float32, x.dtype)
+        xf = x.astype(stat_dtype)
+        if ura:
+            mean = ra_mean.value.astype(stat_dtype)
+            var = ra_var.value.astype(stat_dtype)
+        else:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mean), axis=axes)
+            if not self.is_initializing():
+                count = x.size // f
+                unbiased = var * (count / max(count - 1, 1))
+                m = self.momentum
+                ra_mean.value = (m * ra_mean.value.astype(mean.dtype)
+                                 + (1 - m) * mean)
+                ra_var.value = (m * ra_var.value.astype(var.dtype)
+                                + (1 - m) * unbiased)
+        inv = scale.astype(stat_dtype) / jnp.sqrt(var + self.epsilon)
+        y = (xf - mean) * inv + bias.astype(stat_dtype)
+        out_dtype = self.dtype if self.dtype is not None else stat_dtype
+        return y.astype(out_dtype)
+
+
 def make_norm(norm_cfg: Optional[Dict[str, Any]],
               *,
               name: str,
@@ -37,15 +102,8 @@ def make_norm(norm_cfg: Optional[Dict[str, Any]],
     norm_type = cfg.pop('type', 'BN')
     cfg.pop('requires_grad', None)
     if norm_type in ('BN', 'BN3d', 'SyncBN'):
-        # use_fast_variance=False: torch computes batch variance as
-        # E[(x-mean)^2]; flax's default E[x^2]-E[x]^2 form cancels
-        # catastrophically for low-variance channels and makes SyncBN
-        # statistics diverge across device-mesh shardings (caught by
-        # tests/test_multichip_equivalence.py).
-        return nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                            use_fast_variance=False,
-                            dtype=dtype, param_dtype=jnp.float32, name=name,
-                            **cfg)
+        return TorchBatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                              dtype=dtype, name=name, **cfg)
     if norm_type == 'GN':
         num_groups = cfg.pop('num_groups')
         return nn.GroupNorm(num_groups=num_groups, epsilon=BN_EPS,

@@ -56,7 +56,10 @@ class I3DClsHead(nn.Module):
 
     @staticmethod
     def loss(cls_score: jnp.ndarray, labels: jnp.ndarray) -> Dict:
-        logp = jax.nn.log_softmax(cls_score.astype(jnp.float32), axis=-1)
+        # at-least-f32: bf16 promotes, f64 stays (trajectory parity)
+        logp = jax.nn.log_softmax(
+            cls_score.astype(jnp.promote_types(jnp.float32,
+                                               cls_score.dtype)), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         return {'loss_cls': jnp.mean(nll)}
 

@@ -95,7 +95,12 @@ class TSNClsHead(nn.Module):
 
     @staticmethod
     def loss(cls_score: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        """Cross-entropy, matching reference ``heads/base.py:40-45``."""
-        logp = jax.nn.log_softmax(cls_score.astype(jnp.float32), axis=-1)
+        """Cross-entropy, matching reference ``heads/base.py:40-45``.
+
+        Computed in at-least-f32 (bf16 logits promote; f64 stays f64 for
+        the train-trajectory parity tests)."""
+        logp = jax.nn.log_softmax(
+            cls_score.astype(jnp.promote_types(jnp.float32,
+                                               cls_score.dtype)), axis=-1)
         nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
         return {'loss_cls': jnp.mean(nll)}

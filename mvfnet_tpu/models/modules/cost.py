@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..common import BN_EPS, BN_MOMENTUM
+from ..common import BN_EPS, BN_MOMENTUM, TorchBatchNorm
 
 
 class CoST(nn.Module):
@@ -25,7 +25,8 @@ class CoST(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 norm_eval: bool = False) -> jnp.ndarray:
         nt, h, w, c = x.shape
         n = nt // self.n_segment
         t = self.n_segment
@@ -56,9 +57,8 @@ class CoST(nn.Module):
         y_th = conv2d_pair(v).reshape(n, w, t, h, c).transpose(0, 2, 3, 1, 4)
 
         y = y_hw + y_tw + y_th
-        y = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                         dtype=self.dtype, param_dtype=jnp.float32,
-                         name='bn')(
-            y, use_running_average=not train)
+        y = TorchBatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                           dtype=self.dtype, name='bn')(
+            y, use_running_average=(not train) or norm_eval)
         y = nn.relu(y)
         return y.reshape(nt, h, w, c)

@@ -55,7 +55,12 @@ class MVF(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 norm_eval: bool = False) -> jnp.ndarray:
+        # norm_eval freezes this module's BN exactly like the backbone
+        # BNs: the reference's bn_eval loop .eval()s EVERY BatchNorm in
+        # train() mode, including MVF's self.bn (resnet.py:496-527) —
+        # running stats are used and never updated.
         cs = int(self.in_channels * self.alpha)
         if cs == 0:
             return x
@@ -90,9 +95,12 @@ class MVF(nn.Module):
                                     lambda: jnp.zeros((cs,), jnp.float32))
             ra_var = self.variable('batch_stats', 'bn_var',
                                    lambda: jnp.ones((cs,), jnp.float32))
-            if train:
+            if train and not norm_eval:
                 y = mvf_conv_sum(xs, w_t, w_h, w_w, self.mode)
-                yf = y.astype(jnp.float32)
+                # stats in at-least-f32 (not a hard f32 cast: a float64
+                # input keeps float64 — needed by the f64 train-trajectory
+                # parity tests; bf16 still promotes to f32)
+                yf = y.astype(jnp.promote_types(jnp.float32, y.dtype))
                 axes = (0, 1, 2, 3)
                 mean = jnp.mean(yf, axis=axes)
                 # stable (torch) variance form: E[(x-mean)^2], not

@@ -18,7 +18,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..common import BN_EPS, BN_MOMENTUM
+from ..common import BN_EPS, BN_MOMENTUM, TorchBatchNorm
 
 
 def _shift2d(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -104,9 +104,8 @@ class LocalAttention(nn.Module):
                 i += 1
         out = nn.Conv(self.dim, (1, 1, 1), use_bias=True, dtype=self.dtype,
                       param_dtype=jnp.float32, name='conv_out')(out)
-        out = nn.BatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
-                           dtype=self.dtype, param_dtype=jnp.float32,
-                           name='bn')(
+        out = TorchBatchNorm(momentum=BN_MOMENTUM, epsilon=BN_EPS,
+                             dtype=self.dtype, name='bn')(
             out, use_running_average=(not train) or norm_eval)
         return identity + out
 

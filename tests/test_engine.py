@@ -54,14 +54,16 @@ class TestSGDParity:
         torch.nn.utils.clip_grad_norm_([wt], max_norm)
         opt.step()
 
-        tx = optax.chain(optax.clip_by_global_norm(max_norm),
+        from mvfnet_tpu.engine.optim import clip_by_global_norm_torch
+        tx = optax.chain(clip_by_global_norm_torch(max_norm),
                          sgd_torch(lambda s: lr))
         params = {'w': jnp.asarray(w0)}
         state = tx.init(params)
         updates, state = tx.update({'w': jnp.asarray(g)}, state, params)
         params = optax.apply_updates(params, updates)
+        # torch-exact incl. the 1e-6 epsilon in the clip coefficient
         np.testing.assert_allclose(np.asarray(params['w']),
-                                   wt.detach().numpy(), rtol=1e-5, atol=1e-6)
+                                   wt.detach().numpy(), rtol=1e-6, atol=1e-7)
 
 
 class TestLRSchedule:
@@ -125,6 +127,23 @@ class TestParamwiseAndFrozen:
         # fc bias: lr_mult 2, bias_decay default 1 -> -2*(1 + 0.5*0) = -2
         np.testing.assert_allclose(
             np.asarray(updates['head_mod']['fc']['bias']), -2.0)
+
+    def test_downsample_bn_is_not_a_norm_param(self):
+        """The reference's norm regex (train.py:143) misses the residual
+        downsample's BN (torch name `downsample.1.*` has no 'bn'), so it
+        keeps FULL weight decay under norm_decay_mult. We replicate that
+        quirk: downsample_bn labels 'default'/'bias', not 'norm' (pinned
+        by the composed trajectory test, test_train_trajectory_parity)."""
+        from mvfnet_tpu.engine.optim import masked_labels
+        params = {'backbone_mod': {'layer2_0': {
+            'bn1': {'scale': jnp.ones((2,)), 'bias': jnp.zeros((2,))},
+            'downsample_bn': {'scale': jnp.ones((2,)),
+                              'bias': jnp.zeros((2,))},
+        }}}
+        labels = masked_labels(params)
+        node = labels['backbone_mod']['layer2_0']
+        assert node['bn1'] == {'scale': 'norm', 'bias': 'norm'}
+        assert node['downsample_bn'] == {'scale': 'default', 'bias': 'bias'}
 
 
 def tiny_cfg(tmp_root, ann, total_epochs=2):

@@ -90,7 +90,11 @@ def test_8dev_matches_1dev_training():
     assert len(flat1) == len(flat8)
     # atol covers near-zero params (BN biases ~1e-4 after 3 steps) whose
     # per-step updates are lr*grad with reassociated-gradient noise;
-    # larger weights are held to the relative bound.
+    # larger weights are held to the relative bound. (Round 4: this test
+    # briefly failed because MVF's inline BN ignored norm_eval and
+    # computed batch stats over the sharded batch — a real reference-
+    # semantics gap, fixed in modules/mvf.py; with every BN actually
+    # frozen the 1-vs-8 divergence is back under this bound.)
     for a, b in zip(flat1, flat8):
         np.testing.assert_allclose(b, a, rtol=5e-4, atol=2e-4)
 
