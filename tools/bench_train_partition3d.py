@@ -49,7 +49,7 @@ def timed(fn, x, k_pair, reps=REPS):
     return (best(k2) - best(k1)) / (k2 - k1)
 
 
-def grad_time(bb_cfg, shape, k_pair, backward=True):
+def grad_time(bb_cfg, shape, k_pair, backward=True, train_mode=True):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -62,11 +62,17 @@ def grad_time(bb_cfg, shape, k_pair, backward=True):
     params = variables['params']
     bs = variables.get('batch_stats', {})
 
-    def loss(p, v):
-        out, _ = bb.apply({'params': p, 'batch_stats': bs}, v, train=True,
-                          mutable=['batch_stats'])
-        return sum(jnp.mean(leaf.astype(jnp.float32))
-                   for leaf in jax.tree_util.tree_leaves(out))
+    if train_mode:
+        def loss(p, v):
+            out, _ = bb.apply({'params': p, 'batch_stats': bs}, v,
+                              train=True, mutable=['batch_stats'])
+            return sum(jnp.mean(leaf.astype(jnp.float32))
+                       for leaf in jax.tree_util.tree_leaves(out))
+    else:  # the dense-eval program: BN running stats, no mutable
+        def loss(p, v):
+            out = bb.apply({'params': p, 'batch_stats': bs}, v, train=False)
+            return sum(jnp.mean(leaf.astype(jnp.float32))
+                       for leaf in jax.tree_util.tree_leaves(out))
 
     if backward:
         def step(v, k):
@@ -125,6 +131,12 @@ def family_variants(family, ns_list, dtype):
             shape
         yield 'fast_only_pack8', dict(base, fast_only=True, fast_pack=8,
                                       out_indices=(3,)), shape
+        for p in (4, 16):
+            yield f'fast_only_pack{p}', dict(base, fast_only=True,
+                                             fast_pack=p,
+                                             out_indices=(3,)), shape
+            yield f'full_pack{p}', dict(base, fast_pack=p,
+                                        out_indices=(3,)), shape
         for ns in ns_list:
             yield f'trunc{ns}', dict(
                 base, num_stages=ns, out_indices=(ns - 1,),
@@ -146,8 +158,14 @@ def main():
     p.add_argument('--variants', nargs='+', default=None,
                    help='restrict to these variant names')
     p.add_argument('--fwd-only', action='store_true')
+    p.add_argument('--eval-geometry', action='store_true',
+                   help='time the dense-test program instead of the train '
+                        'recipe: 30 ThreeCrop x 10-clip views at 256^2, '
+                        'eval-mode BN, implies --fwd-only')
     p.add_argument('--k', type=int, nargs=2, default=(K1, K2))
     args = p.parse_args()
+    if args.eval_geometry:
+        args.fwd_only = True
 
     import jax
     import jax.numpy as jnp
@@ -162,11 +180,16 @@ def main():
         for name, cfg, shape in family_variants(family, args.stages, dtype):
             if args.variants and name not in args.variants:
                 continue
+            if args.eval_geometry:
+                # dense-test geometry: 30 views (ThreeCrop x 10 clips) at
+                # 256^2, one video's program (view_chunk=30 shape)
+                shape = (30, shape[1], 256, 256, 3)
             if not on_tpu:  # CPU smoke: shrink
                 shape = (2, shape[1] // 4 if family != 'slowfast' else 16,
                          64, 64, 3)
             t = grad_time(cfg, shape, k_pair,
-                          backward=not args.fwd_only)
+                          backward=not args.fwd_only,
+                          train_mode=not args.eval_geometry)
             results[name] = round(t * 1e3, 2)
             print(json.dumps({'family': family, 'variant': name,
                               'ms': results[name],
