@@ -29,8 +29,13 @@ K1, K2 = 1, 9
 REPS = 3
 
 
-def measure(quant, quant_stages):
-    """Return dense-test clips/sec for one precision variant."""
+def measure(quant, quant_stages, quant_carry=False, depth=50, clip_len=8):
+    """Return dense-test clips/sec for one precision variant.
+
+    ``depth``/``clip_len`` generalize the headline R50 8x8 geometry to the
+    reference's full model-zoo grid (R50/R101 x 4x16/8x8/16x4,
+    /root/reference/README.md:52-57) — used by tools/bench_zoo.py; the
+    driver line stays pinned to (50, 8)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -38,15 +43,16 @@ def measure(quant, quant_stages):
 
     on_tpu = jax.default_backend() == 'tpu'
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    clip_len, num_clips, crops, size = 8, 10, 3, 256
+    num_clips, crops, size = 10, 3, 256
     views = num_clips * crops  # 30 clip-views per video
 
     model = build_recognizer(
         dict(
             type='Recognizer2D',
-            backbone=dict(type='ResNet', depth=50, out_indices=(3,),
+            backbone=dict(type='ResNet', depth=depth, out_indices=(3,),
                           norm_eval=False, quant=quant,
                           quant_stages=tuple(quant_stages),
+                          quant_carry=quant_carry,
                           norm_cfg=dict(type='BN', requires_grad=True)),
             cls_head=dict(type='TSNClsHead', spatial_size=-1,
                           spatial_type='avg', dropout_ratio=0.5,
@@ -91,6 +97,75 @@ def measure(quant, quant_stages):
     return views / per_video
 
 
+def measure_train(batch=12, clip_len=8, size=224, depth=50):
+    """R50 8x8 train-step clips/sec (the recipe's 12 videos/chip at 224^2),
+    same chained-timing methodology as ``measure``; mirrors
+    tools/bench_train.py so train throughput sits under driver regression
+    tracking next to the dense-test headline (round-3 verdict item 6).
+    ``depth``/``clip_len`` generalize to the zoo grid (tools/bench_zoo.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mvfnet_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from mvfnet_tpu.engine.train_step import TrainState, make_train_step
+    from mvfnet_tpu.models import build_recognizer
+
+    on_tpu = jax.default_backend() == 'tpu'
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = build_recognizer(dict(
+        type='Recognizer2D',
+        backbone=dict(type='ResNet', depth=depth, out_indices=(3,),
+                      norm_eval=False,
+                      norm_cfg=dict(type='BN', requires_grad=True)),
+        cls_head=dict(type='TSNClsHead', spatial_size=-1, spatial_type='avg',
+                      dropout_ratio=0.5, in_channels=2048, init_std=0.01,
+                      num_classes=400),
+        module_cfg=dict(type='MVF', n_segment=clip_len, alpha=0.125,
+                        mvf_freq=(0, 0, 1, 1), mode='THW'),
+        dtype=dtype), test_cfg=dict(average_clips='prob'))
+
+    b, t, s = (batch, clip_len, size) if on_tpu else (2, clip_len, 64)
+    rng = np.random.RandomState(0)
+    imgs = jnp.asarray(rng.randn(b, t, s, s, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 400, size=b).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), imgs, labels,
+                           return_loss=True, train=False)
+    sched = build_lr_schedule(dict(policy='step', step=[90, 130],
+                                   warmup='linear', warmup_iters=100,
+                                   warmup_ratio=0.01),
+                              0.015, 1000, 150)
+    tx = build_optimizer(variables['params'],
+                         dict(type='SGD', lr=0.015, momentum=0.9,
+                              weight_decay=1e-4, nesterov=True),
+                         sched, grad_clip=dict(max_norm=40, norm_type=2))
+    state0 = TrainState.create(variables, tx)
+    step = make_train_step(model, tx, mesh=None,
+                           input_dtype=dtype, donate=False)
+    key = jax.random.PRNGKey(1)
+
+    def best_time(k):
+        @jax.jit
+        def run(state, imgs, labels):
+            def body(i, st):
+                st, _ = step(st, imgs + i.astype(imgs.dtype) * 1e-6,
+                             labels, key)
+                return st
+            st = jax.lax.fori_loop(0, k, body, state)
+            return st.params['head_mod']['fc']['bias'][0]
+        float(run(state0, imgs, labels))  # compile + warm
+        best = float('inf')
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(run(state0, imgs, labels))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k1, k2 = (1, 5) if on_tpu else (1, 2)
+    t1, t2 = best_time(k1), best_time(k2)
+    per_step = max((t2 - t1) / (k2 - k1), 1e-9)
+    return b / per_step, b
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--quant', choices=['int8', 'int8_static'], default=None,
@@ -102,10 +177,18 @@ def main():
                          '(default = the measured-best (1,1,0,0) recipe)')
     ap.add_argument('--skip-quant', action='store_true',
                     help='bf16 headline only; skip the int8_static side run')
+    ap.add_argument('--skip-train', action='store_true',
+                    help='skip the train-throughput side run')
+    ap.add_argument('--quant-carry', action='store_true',
+                    help='run the int8 variant with the integer-carry '
+                         'pipeline instead of the literal (default) form '
+                         '(A/B apparatus; measured ~3.5%% slower e2e — '
+                         'DESIGN.md "Int8 integer carry: refuted")')
     args = ap.parse_args()
 
     if args.quant:  # explicit single-variant mode
-        clips_per_sec = measure(args.quant, args.quant_stages)
+        clips_per_sec = measure(args.quant, args.quant_stages,
+                                quant_carry=args.quant_carry)
         print(json.dumps({
             'metric': 'r50_8x8_dense_test_clips_per_sec_per_chip',
             'value': round(clips_per_sec, 2),
@@ -136,6 +219,14 @@ def main():
                 q / V100_BASELINE_CLIPS_PER_SEC, 3)
         except Exception as e:  # never lose the bf16 line to a quant bug
             out['int8_static_error'] = f'{type(e).__name__}: {e}'[:120]
+    if not args.skip_train:
+        try:
+            tps, tb = measure_train()
+            out['train_value'] = round(tps, 2)
+            out['train_unit'] = 'clips/sec/chip'
+            out['train_batch'] = tb
+        except Exception as e:  # never lose the headline to a train-bench bug
+            out['train_error'] = f'{type(e).__name__}: {e}'[:120]
     print(json.dumps(out))
 
 

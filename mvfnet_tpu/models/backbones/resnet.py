@@ -100,7 +100,7 @@ class Bottleneck(nn.Module):
     temporal_cfg: Optional[Dict] = None
     dtype: Dtype = jnp.float32
     quant: Optional[str] = None
-    quant_carry: bool = True
+    quant_carry: bool = False
 
     expansion = 4
 
@@ -120,12 +120,14 @@ class Bottleneck(nn.Module):
                     and self.temporal_cfg.get('type') == 'CoST' else None)
         is_mvf = (self.temporal_cfg is not None
                   and self.temporal_cfg.get('type') == 'MVF')
-        # Integer-carry int8 pipeline (DESIGN.md "Int8 integer carry"):
-        # conv1/conv2/conv3 exchange int8 activations directly, folding the
-        # BN affines + ReLUs + requantization into one int32->int8 pass
-        # each. Same math and same variable tree as the unfused path, which
-        # still runs during init and calibration (mutable quant_stats) so
-        # act_amax records the true conv inputs.
+        # Integer-carry int8 pipeline (DESIGN.md "Int8 integer carry:
+        # refuted"): conv1/conv2/conv3 exchange int8 activations directly,
+        # folding the BN affines + ReLUs + requantization into one
+        # int32->int8 pass each. Same math and same variable tree as the
+        # unfused path, which still runs during init and calibration
+        # (mutable quant_stats) so act_amax records the true conv inputs.
+        # Off by default — measured slightly slower e2e than the literal
+        # form, which XLA fuses on its own.
         use_carry = (self.quant == 'int8_static' and self.quant_carry
                      and not self.is_mutable_collection('quant_stats')
                      and not avd and cost_cfg is None
@@ -404,10 +406,13 @@ class ResNet(nn.Module):
     quant: Optional[str] = None
     quant_stages: Sequence[int] = (1, 1, 1, 1)
     # integer-carry pipeline for int8_static (adjacent quantized convs
-    # exchange int8 through folded BN+ReLU epilogues — same math, fewer
-    # HBM passes; see IntCarry in common.py). On by default; set False to
-    # run the literal dequant->BN->relu->requant form.
-    quant_carry: bool = True
+    # exchange int8 through folded BN+ReLU epilogues — same math; see
+    # IntCarry in common.py). OFF by default: measured e2e-NEGATIVE on
+    # TPU (-3.5% twice, same-session A/B) — XLA already fuses the literal
+    # dequant->BN->relu->requant chain into one pass, and the manual fold
+    # compiles to a slightly worse program. Kept as tested measurement
+    # apparatus (DESIGN.md "Int8 integer carry: refuted").
+    quant_carry: bool = False
     # additionally quantize the s2d stem conv (excluded by default: the
     # first conv sees raw normalized pixels and its drift propagates
     # through every stage; flip on to measure — 2.04 of 28.1 ms e2e)

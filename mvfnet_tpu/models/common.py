@@ -248,6 +248,10 @@ class QuantConv2d(nn.Module):
     precision of the intermediate, which is *higher* here). Requires
     ``static=True`` and a prior calibration pass (the unfused path runs
     during calibration so ``act_amax`` records the true conv input).
+    Measured e2e-NEGATIVE on TPU (~-3.5%, replicated): XLA already fuses
+    the literal dequant->BN->relu->requant chain, so the manual fold only
+    reshuffles an already-fused program — off by default, kept as tested
+    apparatus (DESIGN.md "Int8 integer carry (round 4): refuted").
 
     Eval-only — gradients through the rounding are meaningless and the
     owning backbone must reject train mode.

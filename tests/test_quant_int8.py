@@ -267,12 +267,15 @@ class TestViewChunkWarning:
 
 
 class TestIntegerCarry:
-    """The integer-carry int8 pipeline (quant_carry, default on for
-    int8_static): adjacent quantized convs exchange int8 activations with
-    the BN affine + ReLU + requantization folded into one int32->int8 pass
-    (common.py IntCarry / resnet.py Bottleneck carry path). Same scales
-    and same quantization scheme as the unfused form — the only numeric
-    freedom is float-grouping at the round() boundaries (+-1 LSB)."""
+    """The integer-carry int8 pipeline (quant_carry, OFF by default —
+    measured ~3.5% slower e2e than the literal form on TPU, which XLA
+    fuses on its own; DESIGN.md "Int8 integer carry: refuted"): adjacent
+    quantized convs exchange int8 activations with the BN affine + ReLU +
+    requantization folded into one int32->int8 pass (common.py IntCarry /
+    resnet.py Bottleneck carry path). Same scales and same quantization
+    scheme as the unfused form — the only numeric freedom is
+    float-grouping at the round() boundaries (+-1 LSB). Kept as tested
+    measurement apparatus."""
 
     def _trunc(self, carry):
         from mvfnet_tpu.models import build_backbone
@@ -329,8 +332,9 @@ class TestImportedWeightsMarginDrift:
         vocabulary — torch's default conv/BN initialization gives realistic
         per-layer scale distributions (kaiming-uniform fans, BN running
         stats away from init), unlike the flax random-init fixture. Runs
-        the shipping (1,1,0,0) int8_static recipe WITH the integer-carry
-        pipeline (the default form that bench.py reports)."""
+        the shipping (1,1,0,0) int8_static recipe in its default literal
+        form (the one bench.py reports; quant_carry stays off —
+        DESIGN.md "Int8 integer carry: refuted")."""
         import sys, os
         sys.path.insert(0, os.path.dirname(__file__))
         import torch

@@ -62,13 +62,14 @@ def timeit(fn, x, k_pair, reps=REPS):
 
 
 def build_full(dtype, mvf=True, quant=None, quant_stages=(1, 1, 0, 0),
-               quant_stem=False):
+               quant_stem=False, quant_carry=False):
     from mvfnet_tpu.models import build_recognizer
     return build_recognizer(
         dict(type='Recognizer2D',
              backbone=dict(type='ResNet', depth=50, out_indices=(3,),
                            norm_eval=False, quant=quant,
                            quant_stages=quant_stages, quant_stem=quant_stem,
+                           quant_carry=quant_carry,
                            norm_cfg=dict(type='BN', requires_grad=True)),
              cls_head=dict(type='TSNClsHead', spatial_size=-1,
                            spatial_type='avg', dropout_ratio=0.5,
@@ -80,7 +81,7 @@ def build_full(dtype, mvf=True, quant=None, quant_stages=(1, 1, 0, 0),
         test_cfg=dict(average_clips='prob'))
 
 
-def build_trunc(dtype, num_stages, quant=None):
+def build_trunc(dtype, num_stages, quant=None, quant_carry=False):
     """Truncated real backbone exactly as the full model configures it."""
     from mvfnet_tpu.models.recognizers.recognizer2d import \
         _prepare_backbone_cfg
@@ -88,6 +89,7 @@ def build_trunc(dtype, num_stages, quant=None):
     bb = dict(type='ResNet', depth=50, num_stages=num_stages,
               out_indices=(num_stages - 1,), norm_eval=False,
               quant=quant, quant_stages=(1, 1, 1, 1)[:num_stages],
+              quant_carry=quant_carry,
               strides=(1, 2, 2, 2)[:num_stages],
               dilations=(1, 1, 1, 1)[:num_stages],
               norm_cfg=dict(type='BN', requires_grad=True))
@@ -104,6 +106,11 @@ def main():
                     default=['full', 'bf16in', 'castonly', 'nomvf',
                              'trunc1', 'trunc2', 'trunc3', 'trunc4'])
     ap.add_argument('--k', type=int, nargs=2, default=(K1, K2))
+    ap.add_argument('--quant-carry', action='store_true',
+                    help='quant variants run the integer-carry pipeline '
+                         'instead of the literal (default) form — A/B '
+                         'apparatus, measured slower e2e (DESIGN.md '
+                         '"Int8 integer carry: refuted")')
     args = ap.parse_args()
 
     import jax
@@ -126,7 +133,8 @@ def main():
         elif name in ('full', 'bf16in', 'nomvf', 'fullq', 'fullq_stem'):
             q = 'int8_static' if name.startswith('fullq') else None
             model = build_full(dtype, mvf=(name != 'nomvf'), quant=q,
-                               quant_stem=name.endswith('stem'))
+                               quant_stem=name.endswith('stem'),
+                               quant_carry=args.quant_carry)
             xin = x32.astype(dtype) if name == 'bf16in' else x32
             v = model.init(jax.random.PRNGKey(0), xin, None,
                            return_loss=False, train=False)
@@ -139,7 +147,8 @@ def main():
         elif name.startswith('trunc'):
             quant = 'int8_static' if name.endswith('q') else None
             ns = int(name[5])
-            bb = build_trunc(dtype, ns, quant=quant)
+            bb = build_trunc(dtype, ns, quant=quant,
+                             quant_carry=args.quant_carry)
             xf = x32.reshape((-1,) + x32.shape[2:])
             v = bb.init(jax.random.PRNGKey(0), xf, train=False)
             if quant:
