@@ -80,21 +80,26 @@ def measure(quant, quant_stages, quant_carry=False, depth=50, clip_len=8):
             return acc + jnp.mean(s)
         return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-    def best_time(k):
+    def times(k):
         k = jnp.asarray(k, jnp.int32)
         float(run(variables, x, k))  # compile (first call) + warm
-        best = float('inf')
+        out = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             float(run(variables, x, k))  # scalar fetch = true sync point
-            best = min(best, time.perf_counter() - t0)
-        return best
+            out.append(time.perf_counter() - t0)
+        return out
 
     k1, k2 = (K1, K2) if on_tpu else (1, 2)  # CPU smoke mode
-    t1 = best_time(k1)
-    t2 = best_time(k2)
-    per_video = max((t2 - t1) / (k2 - k1), 1e-9)
-    return views / per_video
+    t1s, t2s = times(k1), times(k2)
+    # headline estimator: best-of-reps differencing (unchanged across
+    # rounds for comparability); per-rep pairing exposes the spread
+    # (round-4 verdict: single numbers inside +-9% relay noise are not a
+    # regression signal — publish reps + spread alongside)
+    best = views / max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
+    reps = [views / max((b - a) / (k2 - k1), 1e-9)
+            for a, b in zip(t1s, t2s)]
+    return best, reps
 
 
 def measure_train(batch=12, clip_len=8, size=224, depth=50):
@@ -143,7 +148,7 @@ def measure_train(batch=12, clip_len=8, size=224, depth=50):
                            input_dtype=dtype, donate=False)
     key = jax.random.PRNGKey(1)
 
-    def best_time(k):
+    def times(k):
         @jax.jit
         def run(state, imgs, labels):
             def body(i, st):
@@ -153,17 +158,18 @@ def measure_train(batch=12, clip_len=8, size=224, depth=50):
             st = jax.lax.fori_loop(0, k, body, state)
             return st.params['head_mod']['fc']['bias'][0]
         float(run(state0, imgs, labels))  # compile + warm
-        best = float('inf')
+        out = []
         for _ in range(REPS):
             t0 = time.perf_counter()
             float(run(state0, imgs, labels))
-            best = min(best, time.perf_counter() - t0)
-        return best
+            out.append(time.perf_counter() - t0)
+        return out
 
     k1, k2 = (1, 5) if on_tpu else (1, 2)
-    t1, t2 = best_time(k1), best_time(k2)
-    per_step = max((t2 - t1) / (k2 - k1), 1e-9)
-    return b / per_step, b
+    t1s, t2s = times(k1), times(k2)
+    best = b / max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
+    reps = [b / max((y - x) / (k2 - k1), 1e-9) for x, y in zip(t1s, t2s)]
+    return best, reps, b
 
 
 def main():
@@ -186,9 +192,17 @@ def main():
                          'DESIGN.md "Int8 integer carry: refuted")')
     args = ap.parse_args()
 
+    def stats(reps):
+        """Per-rep values + median/spread so a cross-round delta can be
+        judged against same-session noise (round-4 verdict item 5)."""
+        med = sorted(reps)[len(reps) // 2]
+        spread = (max(reps) - min(reps)) / med * 100 if med else 0.0
+        return round(med, 2), round(spread, 1), [round(r, 2) for r in reps]
+
     if args.quant:  # explicit single-variant mode
-        clips_per_sec = measure(args.quant, args.quant_stages,
-                                quant_carry=args.quant_carry)
+        clips_per_sec, reps = measure(args.quant, args.quant_stages,
+                                      quant_carry=args.quant_carry)
+        med, spread, rep_vals = stats(reps)
         print(json.dumps({
             'metric': 'r50_8x8_dense_test_clips_per_sec_per_chip',
             'value': round(clips_per_sec, 2),
@@ -196,6 +210,7 @@ def main():
             'vs_baseline':
                 round(clips_per_sec / V100_BASELINE_CLIPS_PER_SEC, 3),
             'quant': args.quant,
+            'reps': rep_vals, 'median': med, 'spread_pct': spread,
         }))
         return
 
@@ -203,28 +218,40 @@ def main():
     # int8_static (1,1,0,0) recipe as a side field (VERDICT r2 item 2b —
     # bf16 stays the accuracy-default until real-data validation; drift
     # bound: tests/test_quant_int8.py::test_golden_weights_margin_drift).
-    clips_per_sec = measure(None, (1, 1, 1, 1))
+    clips_per_sec, dense_reps = measure(None, (1, 1, 1, 1))
+    med, spread, rep_vals = stats(dense_reps)
     out = {
         'metric': 'r50_8x8_dense_test_clips_per_sec_per_chip',
         'value': round(clips_per_sec, 2),
         'unit': 'clips/sec/chip',
         'vs_baseline': round(clips_per_sec / V100_BASELINE_CLIPS_PER_SEC, 3),
+        'reps': rep_vals, 'median': med, 'spread_pct': spread,
     }
     if not args.skip_quant:
         try:
-            q = measure('int8_static', args.quant_stages)
+            q, q_reps = measure('int8_static', args.quant_stages)
+            qmed, qspread, qvals = stats(q_reps)
             out['int8_static_value'] = round(q, 2)
             out['int8_static_stages'] = list(args.quant_stages)
             out['int8_static_vs_baseline'] = round(
                 q / V100_BASELINE_CLIPS_PER_SEC, 3)
+            out['int8_static_reps'] = qvals
+            out['int8_static_spread_pct'] = qspread
         except Exception as e:  # never lose the bf16 line to a quant bug
             out['int8_static_error'] = f'{type(e).__name__}: {e}'[:120]
     if not args.skip_train:
         try:
-            tps, tb = measure_train()
+            tps, t_reps, tb = measure_train()
+            tmed, tspread, tvals = stats(t_reps)
             out['train_value'] = round(tps, 2)
             out['train_unit'] = 'clips/sec/chip'
             out['train_batch'] = tb
+            out['train_reps'] = tvals
+            out['train_spread_pct'] = tspread
+            # canonical cross-round regression signal: the same-session
+            # train/dense ratio — relay/session noise is common-mode and
+            # cancels (docs/DESIGN.md "Driver bench noise tracking")
+            out['train_dense_ratio'] = round(tps / clips_per_sec, 4)
         except Exception as e:  # never lose the headline to a train-bench bug
             out['train_error'] = f'{type(e).__name__}: {e}'[:120]
     print(json.dumps(out))

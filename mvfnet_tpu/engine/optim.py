@@ -48,10 +48,14 @@ def make_step_lr_schedule(base_lr: float,
         decays = jnp.sum(step >= milestones)
         lr = base_lr * (gamma ** decays.astype(fdt))
         if warmup == 'linear' and warmup_iters > 0:
-            # mmcv: lr * (1 - (1 - ratio) * (1 - t/warmup_iters))
+            # mmcv LrUpdaterHook.get_warmup_lr: the warmup factor
+            # (1 - (1 - ratio) * (1 - t/warmup_iters)) multiplies the
+            # *regular* (already step-decayed) lr, not base_lr — relevant
+            # only if a milestone lands inside the warmup window, but we
+            # match mmcv exactly (advisor finding, round 4).
             frac = jnp.minimum(step, warmup_iters).astype(fdt) / warmup_iters
             k = (1 - frac) * (1 - warmup_ratio)
-            lr = jnp.where(step < warmup_iters, base_lr * (1 - k), lr)
+            lr = jnp.where(step < warmup_iters, lr * (1 - k), lr)
         return lr
 
     return schedule

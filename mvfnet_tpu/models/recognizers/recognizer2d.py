@@ -162,6 +162,11 @@ class Recognizer2D(nn.Module):
             return cls_score
         grouped = cls_score.reshape((num_batch, -1) + cls_score.shape[1:])
         if mode == 'prob':
-            return jnp.mean(jax.nn.softmax(grouped.astype(jnp.float32),
-                                           axis=-1), axis=1)
+            # softmax in >= f32 (bf16 compute would lose probability mass);
+            # promote, never demote — an f32 hard cast here blocked the f64
+            # reference-oracle parity path (same bug class as the round-4
+            # trajectory fixes)
+            acc = jnp.promote_types(grouped.dtype, jnp.float32)
+            return jnp.mean(jax.nn.softmax(grouped.astype(acc), axis=-1),
+                            axis=1)
         return jnp.mean(grouped, axis=1)

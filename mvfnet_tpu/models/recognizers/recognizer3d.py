@@ -98,8 +98,10 @@ class Recognizer3D(nn.Module):
             return cls_score
         grouped = cls_score.reshape((num_batch, -1) + cls_score.shape[1:])
         if mode == 'prob':
-            return jnp.mean(jax.nn.softmax(grouped.astype(jnp.float32),
-                                           axis=-1), axis=1)
+            # promote, never demote (see recognizer2d.average_clip)
+            acc = jnp.promote_types(grouped.dtype, jnp.float32)
+            return jnp.mean(jax.nn.softmax(grouped.astype(acc), axis=-1),
+                            axis=1)
         return jnp.mean(grouped, axis=1)
 
 

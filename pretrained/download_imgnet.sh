@@ -5,8 +5,16 @@
 #
 # Gated on egress: in an air-gapped environment, drop resnet50.pth /
 # resnet101.pth into this directory manually (see README.md).
+#
+# Usage: download_imgnet.sh [--allow-unverified]
+#   Without a pinned sha256 the script FAILS CLOSED (the download is
+#   removed, nothing installed). Pass --allow-unverified to accept an
+#   unpinned artifact anyway (zero-egress bootstrap; pin it afterwards).
 set -euo pipefail
 cd "$(dirname "$0")"
+
+ALLOW_UNVERIFIED=0
+[ "${1:-}" = "--allow-unverified" ] && ALLOW_UNVERIFIED=1
 
 BASE=https://github.com/whwu95/MVFNet/releases/download/v0.1
 # sha256 of the reference-released ImageNet checkpoints. UNSET: this repo
@@ -29,9 +37,15 @@ for f in resnet50.pth resnet101.pth; do
   curl -L --fail -o "$f.tmp" "$BASE/$f"
   if [ -n "${SHA256[$f]}" ]; then
     echo "${SHA256[$f]}  $f.tmp" | sha256sum -c -
+  elif [ "$ALLOW_UNVERIFIED" = "1" ]; then
+    echo "WARNING: no pinned sha256 for $f — installing UNVERIFIED" \
+         "(--allow-unverified); pin it: sha256sum $f" >&2
   else
-    echo "WARNING: no pinned sha256 for $f — checksum verification" \
-         "SKIPPED (see comment above; fill in SHA256 to pin)" >&2
+    rm -f "$f.tmp"
+    echo "ERROR: no pinned sha256 for $f — refusing to install an" \
+         "unverified download. Re-run with --allow-unverified to accept," \
+         "then pin the digest in SHA256 above." >&2
+    exit 1
   fi
   mv "$f.tmp" "$f"
   echo "fetched $f"

@@ -1,0 +1,250 @@
+"""Load the ACTUAL reference code (``/root/reference/codes``) under torch CPU.
+
+Round-4 verdict, top item: every torch-parity artifact so far validated
+against ``tests/torch_oracle.py`` — a from-scratch re-implementation — so a
+misreading of the reference could be encoded on both sides invisibly. This
+module makes the reference repo itself executable as the oracle:
+
+- installs a minimal ``mmcv`` shim (``is_str``,
+  ``cnn.constant_init/kaiming_init/normal_init``, ``runner.obj_from_dict``
+  + inert hook stubs) — the only mmcv surface the model/optimizer path
+  touches (``/root/reference/codes/utils/registry.py:4``,
+  ``codes/models/backbones/resnet.py:4``, ``codes/core/train.py:11``)
+- loads the real reference source files as modules under the synthetic
+  package ``refcodes.*``, bypassing the package ``__init__``s that would
+  drag in dataloaders/NCCL/decord machinery irrelevant to numerics
+- stubs ONLY sibling imports that build_optimizer/forward never execute
+  (``build_dataloader``, ``DistOptimizerHook``, ``Runner``, ...)
+
+Everything numerics-relevant — ``ResNet``, ``MVF``, ``TSNClsHead``,
+``SimpleConsensus``, ``Recognizer2D``, ``BaseRecognizer.average_clip``,
+``auto_fp16``, ``core/train.py::build_optimizer`` — is the reference's own
+code, byte-identical, executed.
+
+Used by tests/test_reference_oracle_parity.py. Read-only with respect to
+/root/reference.
+"""
+
+import importlib.util
+import logging
+import sys
+import types
+
+REF = '/root/reference/codes'
+_cache = None
+
+
+# ---------------------------------------------------------------------------
+# mmcv shim
+# ---------------------------------------------------------------------------
+
+def _install_mmcv_shim():
+    if 'mmcv' in sys.modules:
+        if getattr(sys.modules['mmcv'], '_mvfnet_tpu_shim', False):
+            return
+        raise RuntimeError('a real mmcv is installed; shim not needed')
+    import torch.nn as nn
+
+    mmcv = types.ModuleType('mmcv')
+    mmcv._mvfnet_tpu_shim = True
+    mmcv.is_str = lambda x: isinstance(x, str)
+
+    cnn = types.ModuleType('mmcv.cnn')
+
+    def kaiming_init(module, a=0, mode='fan_out', nonlinearity='relu',
+                     bias=0, distribution='normal'):
+        if distribution == 'uniform':
+            nn.init.kaiming_uniform_(module.weight, a=a, mode=mode,
+                                     nonlinearity=nonlinearity)
+        else:
+            nn.init.kaiming_normal_(module.weight, a=a, mode=mode,
+                                    nonlinearity=nonlinearity)
+        if hasattr(module, 'bias') and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def constant_init(module, val, bias=0):
+        if hasattr(module, 'weight') and module.weight is not None:
+            nn.init.constant_(module.weight, val)
+        if hasattr(module, 'bias') and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def normal_init(module, mean=0, std=1, bias=0):
+        nn.init.normal_(module.weight, mean, std)
+        if hasattr(module, 'bias') and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    cnn.kaiming_init = kaiming_init
+    cnn.constant_init = constant_init
+    cnn.normal_init = normal_init
+
+    runner = types.ModuleType('mmcv.runner')
+
+    def obj_from_dict(info, parent=None, default_args=None):
+        """mmcv.runner.obj_from_dict — needed for real construction by
+        ``codes/core/train.py:116`` (the no-paramwise optimizer path)."""
+        assert isinstance(info, dict) and 'type' in info
+        args = info.copy()
+        obj_type = args.pop('type')
+        if isinstance(obj_type, str):
+            obj_type = getattr(parent, obj_type)
+        if default_args is not None:
+            for name, value in default_args.items():
+                args.setdefault(name, value)
+        return obj_type(**args)
+
+    def get_dist_info():
+        return 0, 1
+
+    class _InertStub:
+        """Placeholder for Runner/hook classes imported at module level by
+        core/train.py but never constructed on the code paths under test."""
+
+        def __init__(self, *a, **k):
+            raise NotImplementedError('reference-loader stub')
+
+    runner.obj_from_dict = obj_from_dict
+    runner.get_dist_info = get_dist_info
+    runner.Runner = _InertStub
+    runner.DistSamplerSeedHook = _InertStub
+    runner.OptimizerHook = object
+    runner.Hook = object
+
+    mmcv.cnn = cnn
+    mmcv.runner = runner
+    sys.modules['mmcv'] = mmcv
+    sys.modules['mmcv.cnn'] = cnn
+    sys.modules['mmcv.runner'] = runner
+
+
+# ---------------------------------------------------------------------------
+# module graph construction
+# ---------------------------------------------------------------------------
+
+def _fake_package(name):
+    mod = types.ModuleType(name)
+    mod.__path__ = []  # mark as package
+    sys.modules[name] = mod
+    return mod
+
+
+def _load_real(dotted, relpath):
+    """Execute the real reference file ``codes/<relpath>`` as module
+    ``dotted`` (parents must already be in sys.modules)."""
+    spec = importlib.util.spec_from_file_location(dotted, f'{REF}/{relpath}')
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    setattr(sys.modules[dotted.rsplit('.', 1)[0]],
+            dotted.rsplit('.', 1)[1], mod)
+    return mod
+
+
+def load_reference():
+    """Import the reference model + optimizer code; returns a namespace with
+    ``build_recognizer``, ``build_optimizer``, ``batch_processor``,
+    ``parse_losses`` and the loaded module objects."""
+    global _cache
+    if _cache is not None:
+        return _cache
+
+    _install_mmcv_shim()
+
+    root = _fake_package('refcodes')
+
+    # -- utils: real Registry/build_from_cfg; logger + checkpoint stubbed
+    #    (load_checkpoint is only reached when pretrained is a str, which
+    #    the parity tests never use — they copy weights explicitly).
+    utils = _fake_package('refcodes.utils')
+    registry = _load_real('refcodes.utils.registry', 'utils/registry.py')
+    utils.Registry = registry.Registry
+    utils.build_from_cfg = registry.build_from_cfg
+    utils.get_root_logger = lambda **kw: logging.getLogger('refcodes')
+
+    def _no_checkpoint(*a, **k):
+        raise NotImplementedError(
+            'reference-loader stub: pretrained checkpoints are not used '
+            'in parity tests')
+
+    utils.load_checkpoint = _no_checkpoint
+
+    # -- core: the real fp16 decorator chain (auto_fp16 wraps forward).
+    core = _fake_package('refcodes.core')
+    fp16 = _fake_package('refcodes.core.fp16')
+    _load_real('refcodes.core.fp16.utils', 'core/fp16/utils.py')
+    decorators = _load_real('refcodes.core.fp16.decorators',
+                            'core/fp16/decorators.py')
+    fp16.auto_fp16 = decorators.auto_fp16
+    fp16.force_fp32 = decorators.force_fp32
+    core.auto_fp16 = decorators.auto_fp16
+
+    # -- models: real builder + common + backbones + modules + heads +
+    #    recognizers (registration happens at exec time via decorators).
+    models = _fake_package('refcodes.models')
+    builder = _load_real('refcodes.models.builder', 'models/builder.py')
+    common = _fake_package('refcodes.models.common')
+    for sub in ('misc', 'norm', 'se_module', 'conv_module'):
+        m = _load_real(f'refcodes.models.common.{sub}',
+                       f'models/common/{sub}.py')
+        for attr in getattr(m, '__all__', None) or [
+                a for a in dir(m) if not a.startswith('_')]:
+            setattr(common, attr, getattr(m, attr))
+
+    _fake_package('refcodes.models.backbones')
+    resnet = _load_real('refcodes.models.backbones.resnet',
+                        'models/backbones/resnet.py')
+    _fake_package('refcodes.models.modules')
+    mvf = _load_real('refcodes.models.modules.MVF', 'models/modules/MVF.py')
+
+    heads = _fake_package('refcodes.models.heads')
+    _load_real('refcodes.models.heads.base', 'models/heads/base.py')
+    # tsn_clshead runtime-imports `.segmental_consensuses`
+    sc = _fake_package('refcodes.models.heads.segmental_consensuses')
+    simple = _load_real(
+        'refcodes.models.heads.segmental_consensuses.simple_consensus',
+        'models/heads/segmental_consensuses/simple_consensus.py')
+    relation = _load_real(
+        'refcodes.models.heads.segmental_consensuses.relation_consensus',
+        'models/heads/segmental_consensuses/relation_consensus.py')
+    sc.SimpleConsensus = simple.SimpleConsensus
+    sc.return_TRN = relation.return_TRN
+    tsn_head = _load_real('refcodes.models.heads.tsn_clshead',
+                          'models/heads/tsn_clshead.py')
+
+    _fake_package('refcodes.models.recognizers')
+    _load_real('refcodes.models.recognizers.base',
+               'models/recognizers/base.py')
+    recognizer2d = _load_real('refcodes.models.recognizers.recognizer2d',
+                              'models/recognizers/recognizer2d.py')
+    models.builder = builder
+
+    # -- core/train.py: the real build_optimizer/batch_processor. Its
+    #    module-level sibling imports (dataloaders, DDP wrappers, hooks)
+    #    are stubbed — none are touched by the functions under test.
+    datasets = _fake_package('refcodes.datasets')
+    datasets.build_dataloader = _no_checkpoint
+    dist_utils = types.ModuleType('refcodes.core.dist_utils')
+    dist_utils.DistOptimizerHook = object
+    sys.modules['refcodes.core.dist_utils'] = dist_utils
+    evaluation = types.ModuleType('refcodes.core.evaluation')
+    evaluation.DistEvalTopKAccuracyHook = object
+    sys.modules['refcodes.core.evaluation'] = evaluation
+    fp16.Fp16OptimizerHook = object
+    parallel = types.ModuleType('refcodes.core.parallel')
+    parallel.MMDataParallel = object
+    parallel.MMDistributedDataParallel = object
+    sys.modules['refcodes.core.parallel'] = parallel
+    train = _load_real('refcodes.core.train', 'core/train.py')
+
+    _cache = types.SimpleNamespace(
+        build_recognizer=builder.build_recognizer,
+        build_optimizer=train.build_optimizer,
+        batch_processor=train.batch_processor,
+        parse_losses=train.parse_losses,
+        Recognizer2D=recognizer2d.Recognizer2D,
+        ResNet=resnet.ResNet,
+        MVF=mvf.MVF,
+        TSNClsHead=tsn_head.TSNClsHead,
+        train=train,
+        root=root,
+    )
+    return _cache

@@ -96,12 +96,25 @@ def build_torch_optimizer(model, lr, momentum, weight_decay, nesterov,
                            weight_decay=weight_decay, nesterov=nesterov)
 
 
+def mmcv_lr_factor(t, milestones, warmup_iters, warmup_ratio=0.1,
+                   gamma=0.1):
+    """mmcv LrUpdaterHook factor (warmup + step), relative to base lr.
+
+    Computed DIRECTLY from the mmcv formula (StepLrUpdaterHook regular lr
+    ``gamma ** #milestones<=t`` then ``get_warmup_lr``:
+    ``regular * (1 - (1 - t/warmup_iters) * (1 - warmup_ratio))`` while
+    ``t < warmup_iters``), deliberately NOT via the repo's own
+    make_step_lr_schedule so the torch side of the trajectory test is an
+    independent oracle for the LR semantics too (advisor finding, r4)."""
+    f = gamma ** sum(1 for m in milestones if t >= m)
+    if t < warmup_iters:
+        k = (1 - t / warmup_iters) * (1 - warmup_ratio)
+        f *= (1 - k)
+    return f
+
+
 def lr_factor(t):
-    """mmcv LrUpdaterHook factor (warmup + step), relative to base lr."""
-    sched = make_step_lr_schedule(
-        BASE_LR, [MILESTONE], iters_per_epoch=1, warmup='linear',
-        warmup_iters=WARMUP_ITERS, warmup_ratio=0.1)
-    return float(sched(t)) / BASE_LR
+    return mmcv_lr_factor(t, [MILESTONE], WARMUP_ITERS)
 
 
 def torch_train_loop(oracle, opt, imgs, labels):
@@ -322,7 +335,7 @@ class TestI3DTrajectoryParity:
         ref_losses = []
         import torch.nn.functional as F
         for t in range(I3D_STEPS):
-            f = float(sched(t)) / BASE_LR
+            f = mmcv_lr_factor(t, [I3D_MILESTONE], WARMUP_ITERS)
             for g, lr0 in zip(opt.param_groups, base_lrs):
                 g['lr'] = lr0 * f
             # (B, 1, T, H, W, 3) -> (B, 3, T, H, W)

@@ -16,6 +16,14 @@ Prints ONE JSON line:
   {"metric": "r50_8x8_dense_e2e_clips_per_sec", "value": ..., "unit":
    "clips/sec/chip", "host_only_clips_per_sec": ..., "device_only_...": ,
    "workers": N}
+
+``--train`` switches to the TRAIN hot loop (round-4 verdict item 4,
+mirroring the reference's ``codes/core/train.py:249-264``): the train
+pipeline (RandomResizedCrop 224 + Flip) feeds batches of ``--batch``
+videos x 8 frames into the jitted train step (forward+backward+SGD,
+bf16 compute) with one host->device transfer in flight. Reports the
+sustained clips/s plus the host-only and device-only bounds and the
+device-idle fraction.
 """
 
 import argparse

@@ -58,16 +58,19 @@ def main():
                'unit': 'clips/sec/chip'}
         if not args.skip_dense:
             t0 = time.time()
-            c = bench.measure(None, (1, 1, 1, 1), depth=depth,
-                              clip_len=clip_len)
+            c, reps = bench.measure(None, (1, 1, 1, 1), depth=depth,
+                                    clip_len=clip_len)
             out['dense_clips_per_sec'] = round(c, 2)
+            out['dense_reps'] = [round(r, 2) for r in reps]
             out['dense_tflops'] = round(
                 c * GFLOPS[(depth, clip_len)] / 1e3, 2)
             out['dense_wall_s'] = round(time.time() - t0, 1)
         if not args.skip_train:
             t0 = time.time()
-            tps, b = bench.measure_train(clip_len=clip_len, depth=depth)
+            tps, t_reps, b = bench.measure_train(clip_len=clip_len,
+                                                 depth=depth)
             out['train_clips_per_sec'] = round(tps, 2)
+            out['train_reps'] = [round(r, 2) for r in t_reps]
             out['train_batch'] = b
             out['train_wall_s'] = round(time.time() - t0, 1)
         print(json.dumps(out), flush=True)
