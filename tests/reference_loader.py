@@ -45,9 +45,109 @@ def _install_mmcv_shim():
         raise RuntimeError('a real mmcv is installed; shim not needed')
     import torch.nn as nn
 
+    import cv2
+    import numpy as np
+
     mmcv = types.ModuleType('mmcv')
     mmcv._mvfnet_tpu_shim = True
     mmcv.is_str = lambda x: isinstance(x, str)
+    mmcv.is_tuple_of = lambda seq, t: (isinstance(seq, tuple)
+                                       and all(isinstance(i, t) for i in seq))
+
+    # -- image ops used by datasets/pipelines/augmentations.py. Implemented
+    #    here to mmcv v0.x's documented semantics (mmcv/image/geometric.py:
+    #    thin cv2 wrappers; imresize size is (w, h), imrescale rounds
+    #    int(dim*scale+0.5), imcrop is inclusive [x1,y1,x2,y2] clipped to
+    #    bounds). NOTE this is the residual trust boundary of the pipeline
+    #    oracle: the reference's *decision logic* (crop grids, scale
+    #    selection, flip/invert structure) executes as its own bytes, while
+    #    these leaf pixel ops are re-stated from the mmcv spec.
+    def imresize(img, size, return_scale=False, interpolation='bilinear'):
+        interp = {'nearest': cv2.INTER_NEAREST, 'bilinear': cv2.INTER_LINEAR,
+                  'bicubic': cv2.INTER_CUBIC, 'area': cv2.INTER_AREA,
+                  'lanczos': cv2.INTER_LANCZOS4}[interpolation]
+        h, w = img.shape[:2]
+        out = cv2.resize(img, tuple(size), interpolation=interp)
+        if not return_scale:
+            return out
+        return out, size[0] / w, size[1] / h
+
+    def imrescale(img, scale, return_scale=False, interpolation='bilinear'):
+        h, w = img.shape[:2]
+        if isinstance(scale, (float, int)) and not isinstance(scale, bool):
+            factor = float(scale)
+        else:
+            factor = min(max(scale) / max(h, w), min(scale) / min(h, w))
+        out = imresize(img, (int(w * factor + 0.5), int(h * factor + 0.5)),
+                       interpolation=interpolation)
+        if not return_scale:
+            return out
+        return out, factor
+
+    def imcrop(img, bboxes, scale=1.0):
+        assert scale == 1.0
+        single = bboxes.ndim == 1
+        _bboxes = bboxes[None, ...] if single else bboxes
+        h, w = img.shape[:2]
+        patches = []
+        for bb in _bboxes.astype(np.int32):
+            x1 = max(int(bb[0]), 0)
+            y1 = max(int(bb[1]), 0)
+            x2 = min(int(bb[2]), w - 1)
+            y2 = min(int(bb[3]), h - 1)
+            patches.append(np.ascontiguousarray(
+                img[y1:y2 + 1, x1:x2 + 1, ...]))
+        return patches[0] if single else patches
+
+    def imflip(img, direction='horizontal'):
+        assert direction in ('horizontal', 'vertical')
+        axis = 1 if direction == 'horizontal' else 0
+        return np.ascontiguousarray(np.flip(img, axis=axis))
+
+    def iminvert(img):
+        return np.full_like(img, 255) - img
+
+    def impad(img, shape, pad_val=0):
+        if len(shape) < len(img.shape):
+            shape = shape + (img.shape[-1],)
+        pad = np.empty(shape, dtype=img.dtype)
+        pad[...] = pad_val
+        pad[:img.shape[0], :img.shape[1], ...] = img
+        return pad
+
+    def impad_to_multiple(img, divisor, pad_val=0):
+        ph = int(np.ceil(img.shape[0] / divisor)) * divisor
+        pw = int(np.ceil(img.shape[1] / divisor)) * divisor
+        return impad(img, (ph, pw), pad_val)
+
+    mmcv.imresize = imresize
+    mmcv.imrescale = imrescale
+    mmcv.imcrop = imcrop
+    mmcv.imflip = imflip
+    mmcv.iminvert = iminvert
+    mmcv.impad = impad
+    mmcv.impad_to_multiple = impad_to_multiple
+
+    parallel = types.ModuleType('mmcv.parallel')
+
+    class DataContainer:
+        """mmcv.parallel.DataContainer — the container formating.py's
+        Collect wraps img_meta in; only ``.data`` is read back in tests."""
+
+        def __init__(self, data, stack=False, padding_value=0,
+                     cpu_only=False):
+            self._data = data
+            self.stack = stack
+            self.padding_value = padding_value
+            self.cpu_only = cpu_only
+
+        @property
+        def data(self):
+            return self._data
+
+    parallel.DataContainer = DataContainer
+    mmcv.parallel = parallel
+    sys.modules['mmcv.parallel'] = parallel
 
     cnn = types.ModuleType('mmcv.cnn')
 
@@ -194,6 +294,26 @@ def load_reference():
                         'models/backbones/resnet.py')
     _fake_package('refcodes.models.modules')
     mvf = _load_real('refcodes.models.modules.MVF', 'models/modules/MVF.py')
+    cost = _load_real('refcodes.models.modules.CoST',
+                      'models/modules/CoST.py')
+    _load_real('refcodes.models.modules.local_attention',
+               'models/modules/local_attention.py')
+    resnet_i3d = _load_real('refcodes.models.backbones.resnet_i3d',
+                            'models/backbones/resnet_i3d.py')
+    slowfast = _load_real('refcodes.models.backbones.resnet_i3d_slowfast',
+                          'models/backbones/resnet_i3d_slowfast.py')
+    x3d = _load_real('refcodes.models.backbones.resnet_x3d',
+                     'models/backbones/resnet_x3d.py')
+    _load_real('refcodes.models.backbones.resnet_r3d_utils',
+               'models/backbones/resnet_r3d_utils.py')
+    r3d = _load_real('refcodes.models.backbones.resnet_r3d',
+                     'models/backbones/resnet_r3d.py')
+    mobilenet = _load_real('refcodes.models.backbones.mobilenet_v2',
+                           'models/backbones/mobilenet_v2.py')
+    bninception = _load_real('refcodes.models.backbones.bninception',
+                             'models/backbones/bninception.py')
+    inception_i3d = _load_real('refcodes.models.backbones.inception_v1_i3d',
+                               'models/backbones/inception_v1_i3d.py')
 
     heads = _fake_package('refcodes.models.heads')
     _load_real('refcodes.models.heads.base', 'models/heads/base.py')
@@ -209,12 +329,18 @@ def load_reference():
     sc.return_TRN = relation.return_TRN
     tsn_head = _load_real('refcodes.models.heads.tsn_clshead',
                           'models/heads/tsn_clshead.py')
+    _load_real('refcodes.models.heads.i3d_clshead',
+               'models/heads/i3d_clshead.py')
+    _load_real('refcodes.models.heads.i3d_slowfast_clshead',
+               'models/heads/i3d_slowfast_clshead.py')
 
     _fake_package('refcodes.models.recognizers')
     _load_real('refcodes.models.recognizers.base',
                'models/recognizers/base.py')
     recognizer2d = _load_real('refcodes.models.recognizers.recognizer2d',
                               'models/recognizers/recognizer2d.py')
+    recognizer3d = _load_real('refcodes.models.recognizers.recognizer3d',
+                              'models/recognizers/recognizer3d.py')
     models.builder = builder
 
     # -- core/train.py: the real build_optimizer/batch_processor. Its
@@ -241,10 +367,54 @@ def load_reference():
         batch_processor=train.batch_processor,
         parse_losses=train.parse_losses,
         Recognizer2D=recognizer2d.Recognizer2D,
+        Recognizer3D=recognizer3d.Recognizer3D,
         ResNet=resnet.ResNet,
+        ResNet_I3D=resnet_i3d.ResNet_I3D,
+        ResNet_I3D_SlowFast=slowfast.ResNet_I3D_SlowFast,
+        ResNet_X3D=x3d.ResNet_X3D,
+        ResNet_R3D=r3d.ResNet_R3D,
+        MobileNetV2=mobilenet.MobileNetV2,
+        BNInception=bninception.BNInception,
+        InceptionV1_I3D=inception_i3d.InceptionV1_I3D,
         MVF=mvf.MVF,
+        SimpleCoST=cost.SimpleCoST,
         TSNClsHead=tsn_head.TSNClsHead,
         train=train,
         root=root,
     )
     return _cache
+
+
+_pipe_cache = None
+
+
+def load_reference_pipelines():
+    """Import the reference's data-pipeline code
+    (``codes/datasets/pipelines/{compose,augmentations,formating}.py`` +
+    ``codes/datasets/builder.py``) byte-identical, on top of the model
+    loader's module graph. Returns a namespace with the reference
+    ``Compose``/``PIPELINES`` and the loaded ``augmentations`` module (whose
+    ``random`` attribute tests monkeypatch with a scripted stub to align
+    draws with our Generator-based transforms)."""
+    global _pipe_cache
+    if _pipe_cache is not None:
+        return _pipe_cache
+
+    load_reference()  # mmcv shim + refcodes.utils/refcodes.datasets
+
+    dbuilder = _load_real('refcodes.datasets.builder', 'datasets/builder.py')
+    _fake_package('refcodes.datasets.pipelines')
+    compose = _load_real('refcodes.datasets.pipelines.compose',
+                         'datasets/pipelines/compose.py')
+    aug = _load_real('refcodes.datasets.pipelines.augmentations',
+                     'datasets/pipelines/augmentations.py')
+    formating = _load_real('refcodes.datasets.pipelines.formating',
+                           'datasets/pipelines/formating.py')
+
+    _pipe_cache = types.SimpleNamespace(
+        PIPELINES=dbuilder.PIPELINES,
+        Compose=compose.Compose,
+        augmentations=aug,
+        formating=formating,
+    )
+    return _pipe_cache

@@ -399,3 +399,130 @@ class TestTrajectoryVsReferenceOptimizer:
 
         np.testing.assert_allclose(losses, ref_losses, rtol=1e-9)
         assert_final_state_matches(ref_model, state)
+
+
+# ---------------------------------------------------------------------------
+# 3-D family: the reference's ResNet_I3D + I3DClsHead as the oracle
+# ---------------------------------------------------------------------------
+
+I3D_T = 8
+
+
+def i3d_ref_cfg():
+    """The reference I3D-R50 recognizer (``resnet_i3d.py:498-530`` +
+    ``i3d_clshead.py``, 3x1x1 inflation, (5,7,7) stem, pool2)."""
+    return dict(
+        type='Recognizer3D',
+        backbone=dict(type='ResNet_I3D', depth=50, out_indices=(3,),
+                      norm_eval=False, inflate_freq=(1, 1, 1, 1),
+                      inflate_style='3x1x1', conv1_kernel=(5, 7, 7),
+                      conv1_stride_t=2, pool1_stride_t=2,
+                      nonlocal_stages=(-1,), nonlocal_cfg=None,
+                      norm_cfg=dict(type='BN3d', requires_grad=True)),
+        cls_head=dict(type='I3DClsHead', spatial_size=-1, temporal_size=-1,
+                      dropout_ratio=0.0, in_channels=2048,
+                      num_classes=NUM_CLASSES))
+
+
+def i3d_flax_cfg():
+    return dict(
+        type='Recognizer3D',
+        backbone=dict(type='ResNet_I3D', depth=50, out_indices=(3,),
+                      norm_eval=False, inflate_freq=(1, 1, 1, 1),
+                      inflate_style='3x1x1', conv1_kernel=(5, 7, 7),
+                      conv1_stride_t=2, pool1_stride_t=2,
+                      norm_cfg=dict(type='BN3d', requires_grad=True)),
+        cls_head=dict(type='I3DClsHead', spatial_size=-1, temporal_size=-1,
+                      dropout_ratio=0.0, in_channels=2048,
+                      num_classes=NUM_CLASSES),
+        dtype=None)
+
+
+class TestI3DVsReferenceCode:
+    def test_oracle_and_jax_match_reference(self, f64, ref):
+        """(a) the TorchI3DR50 oracle == the reference's own ResNet_I3D
+        stack (strict state-dict interchange, train-mode loss, all grads);
+        (b) the JAX I3D == the reference code on the same weights (train
+        loss + eval consensus scores)."""
+        from torch_oracle import TorchI3DR50, export_i3d_state_dict
+
+        torch.manual_seed(2)
+        oracle = TorchI3DR50(num_classes=NUM_CLASSES)
+        with torch.no_grad():
+            for m in oracle.modules():
+                if isinstance(m, torch.nn.BatchNorm3d):
+                    m.running_mean.normal_(0, 0.05)
+                    m.running_var.uniform_(0.8, 1.2)
+        oracle = oracle.double()
+
+        torch.manual_seed(3)
+        ref_model = ref.build_recognizer(
+            i3d_ref_cfg(), train_cfg=None,
+            test_cfg=dict(average_clips=None))
+        ref_model.load_state_dict(export_i3d_state_dict(oracle),
+                                  strict=True)
+        ref_model = ref_model.double()
+
+        rng = np.random.RandomState(11)
+        imgs = rng.randn(B, 1, I3D_T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        # reference Recognizer3D wants [B, clips, C, T, H, W]
+        x6 = torch.from_numpy(imgs.transpose(0, 1, 5, 2, 3, 4))
+        y = torch.from_numpy(labels)
+
+        # (a) oracle vs reference code: loss + grads
+        oracle.train()
+        ref_model.train()
+        loss_o = F.cross_entropy(
+            oracle(torch.from_numpy(
+                imgs.reshape(B, I3D_T, HW, HW, 3)
+                .transpose(0, 4, 1, 2, 3))), y)
+        losses = ref_model(img_group=x6, label=y, return_loss=True)
+        loss_r, _ = ref.parse_losses(losses)
+        np.testing.assert_allclose(loss_o.item(), loss_r.item(), rtol=1e-12)
+        loss_o.backward()
+        loss_r.backward()
+        ref_grads = {n: p.grad for n, p in ref_model.named_parameters()}
+        for n, p in oracle.named_parameters():
+            rn = ('cls_head.' + n) if n.startswith('fc_cls.') \
+                else ('backbone.' + n)
+            np.testing.assert_allclose(
+                p.grad.numpy(), ref_grads[rn].numpy(),
+                rtol=1e-9, atol=1e-12, err_msg=rn)
+
+        # (b) JAX vs reference code on the post-step weights (eval path;
+        # the train-mode forwards above already moved the BN buffers,
+        # identically on both sides per the buffer checks in the 2-D test)
+        model = build_recognizer(i3d_flax_cfg(),
+                                 test_cfg=dict(average_clips=None))
+        variables = model.init(
+            {'params': jax.random.PRNGKey(0),
+             'dropout': jax.random.PRNGKey(1)},
+            jnp.zeros((1, 1, I3D_T, HW, HW, 3), jnp.float32),
+            jnp.zeros((1,), jnp.int32), return_loss=True, train=True)
+        variables = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(np.asarray(x), jnp.float64), variables)
+        sd = {k: v.detach().numpy()
+              for k, v in ref_model.state_dict().items()}
+        variables = import_torch_weights(sd, variables)
+
+        ref_model.eval()
+        with torch.no_grad():
+            ref_scores = ref_model(img_group=x6, label=None,
+                                   return_loss=False, return_numpy=True)
+        ours = model.apply(variables, jnp.asarray(imgs), None,
+                           return_loss=False)
+        np.testing.assert_allclose(np.asarray(ours), ref_scores,
+                                   rtol=1e-9, atol=1e-12)
+
+        # train-mode loss on the same weights
+        ref_model.train()
+        with torch.no_grad():
+            losses = ref_model(img_group=x6, label=y, return_loss=True)
+        our_losses, _ = model.apply(
+            variables, jnp.asarray(imgs), jnp.asarray(labels),
+            return_loss=True, train=True,
+            rngs={'dropout': jax.random.PRNGKey(0)},
+            mutable=['batch_stats'])
+        np.testing.assert_allclose(float(our_losses['loss_cls']),
+                                   losses['loss_cls'].item(), rtol=1e-10)

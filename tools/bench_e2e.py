@@ -59,6 +59,138 @@ def make_tree(root: str, videos: int, frames: int) -> str:
     return ann
 
 
+def run_train(args, ann):
+    """Train-mode system benchmark: loader+aug -> prefetch -> jitted
+    forward/backward/SGD step. Mirrors the reference train hot loop
+    (``/root/reference/codes/core/train.py:249-264``: DataLoader workers ->
+    batch_processor -> backward/allreduce/clip/step)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvfnet_tpu.data import build_dataset
+    from mvfnet_tpu.data.loader import DataLoader
+    from mvfnet_tpu.data.sampler import ShardedSampler
+    from mvfnet_tpu.engine.optim import build_lr_schedule, build_optimizer
+    from mvfnet_tpu.engine.train_step import TrainState, make_train_step
+    from mvfnet_tpu.models import build_recognizer
+
+    norm = dict(mean=[123.675, 116.28, 103.53],
+                std=[58.395, 57.12, 57.375], to_rgb=True, device=True)
+    pipeline = [
+        dict(type='SampleFrames', clip_len=8, frame_interval=8, num_clips=1),
+        dict(type='FrameSelector'),
+        dict(type='Resize', scale=(float('inf'), 256), keep_ratio=True),
+        dict(type='RandomResizedCrop', input_size=224),
+        dict(type='Flip', flip_ratio=0.5),
+        dict(type='Normalize', div_255=False, **norm),
+        dict(type='FormatShape', input_format='NHWC'),
+        dict(type='Collect', keys=['img_group', 'label'], meta_keys=[]),
+    ]
+    ds = build_dataset(dict(
+        type='RawFramesDataset', ann_file=ann,
+        data_root=os.path.join(args.data_dir, 'frames'),
+        pipeline=pipeline, test_mode=False, modality='RGB',
+        filename_tmpl='img_{:05}.jpg'))
+
+    def fresh_loader():
+        return DataLoader(ds, args.batch,
+                          ShardedSampler(len(ds), shuffle=True, pad=True,
+                                         seed=0),
+                          num_workers=args.workers, drop_last=True)
+
+    # --- host-only rate (decode + aug + collate, no device) ---
+    for batch in fresh_loader():   # warm page cache / pools
+        break
+    t0 = time.perf_counter()
+    n_b = 0
+    for batch in fresh_loader():
+        n_b += 1
+    host_s = time.perf_counter() - t0
+    result = {
+        'metric': 'r50_8x8_train_e2e_clips_per_sec',
+        'unit': 'clips/sec/chip',
+        'workers': args.workers,
+        'batch': args.batch,
+        'host_only_clips_per_sec': round(n_b * args.batch / host_s, 2),
+    }
+    if args.host_only:
+        result['value'] = result['host_only_clips_per_sec']
+        print(json.dumps(result))
+        return
+
+    on_tpu = jax.default_backend() == 'tpu'
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = build_recognizer(
+        dict(type='Recognizer2D',
+             backbone=dict(type='ResNet', depth=50, out_indices=(3,),
+                           norm_eval=False,
+                           norm_cfg=dict(type='BN', requires_grad=True)),
+             cls_head=dict(type='TSNClsHead', spatial_size=-1,
+                           spatial_type='avg', dropout_ratio=0.5,
+                           in_channels=2048, init_std=0.01,
+                           num_classes=400),
+             module_cfg=dict(type='MVF', n_segment=8, alpha=0.125,
+                             mvf_freq=(0, 0, 1, 1), mode='THW'),
+             dtype=dtype),
+        test_cfg=dict(average_clips='prob'))
+
+    first = next(iter(fresh_loader()))
+    imgs0 = jax.device_put(np.asarray(first['img_group']))  # uint8
+    labels0 = jax.device_put(np.asarray(first['label']))
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, 224, 224, 3), jnp.float32),
+                           jnp.zeros((1,), jnp.int32),
+                           return_loss=True, train=False)
+    sched = build_lr_schedule(dict(policy='step', step=[90, 130],
+                                   warmup='linear', warmup_iters=100,
+                                   warmup_ratio=0.01), 0.015, 1000, 150)
+    tx = build_optimizer(variables['params'],
+                         dict(type='SGD', lr=0.015, momentum=0.9,
+                              weight_decay=1e-4, nesterov=True),
+                         sched, grad_clip=dict(max_norm=40, norm_type=2))
+    state = TrainState.create(variables, tx)
+    # donate=False: the e2e loop reuses `state` across a prefetch window
+    step = make_train_step(model, tx, mesh=None, norm_cfg=norm,
+                           input_dtype=dtype, donate=False)
+    key = jax.random.PRNGKey(1)
+    state, m = step(state, imgs0, labels0, key)   # compile
+    jax.block_until_ready(m['loss'])
+
+    # device-only rate (resident batch, loader excluded)
+    reps = 10 if on_tpu else 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, m = step(state, imgs0, labels0, key)
+    jax.block_until_ready(m['loss'])
+    dev_s = (time.perf_counter() - t0) / reps
+    result['device_only_clips_per_sec'] = round(args.batch / dev_s, 2)
+
+    # end to end: loader feeds the step with one transfer in flight
+    t0 = time.perf_counter()
+    n = 0
+    pending = None
+    for batch in fresh_loader():
+        arr = jax.device_put(np.asarray(batch['img_group']))
+        lab = jax.device_put(np.asarray(batch['label']))
+        if pending is not None:
+            state, m = step(state, *pending, key)
+            jax.block_until_ready(m['loss'])
+            n += 1
+        pending = (arr, lab)
+    if pending is not None:
+        state, m = step(state, *pending, key)
+        jax.block_until_ready(m['loss'])
+        n += 1
+    e2e_s = time.perf_counter() - t0
+    result['value'] = round(n * args.batch / e2e_s, 2)
+    result['steps'] = n
+    result['device_idle_frac'] = round(max(0.0, 1 - n * dev_s / e2e_s), 3)
+    result['final_loss'] = round(float(m['loss']), 4)
+    print(json.dumps(result))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument('--videos', type=int, default=8)
@@ -67,10 +199,19 @@ def main():
     p.add_argument('--data-dir', default='/tmp/mvfnet_e2e_tree')
     p.add_argument('--host-only', action='store_true',
                    help='skip the model; measure the input pipeline alone')
+    p.add_argument('--train', action='store_true',
+                   help='train hot loop instead of dense test (see module '
+                        'docstring)')
+    p.add_argument('--batch', type=int, default=12,
+                   help='train videos per step (the recipe: 12/chip)')
     args = p.parse_args()
 
     os.makedirs(args.data_dir, exist_ok=True)
     ann = make_tree(args.data_dir, args.videos, args.frames)
+
+    if args.train:
+        run_train(args, ann)
+        return
 
     import numpy as np
 
