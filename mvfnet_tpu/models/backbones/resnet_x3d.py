@@ -198,7 +198,10 @@ class X3DBottleneck(nn.Module):
 
 @BACKBONES.register_module
 class ResNet_X3D(nn.Module):
-    depth: int
+    # depth accepts the reference's depth FACTORS (1 / 2.2 / 5,
+    # ``resnet_x3d.py:420-426`` — 2.2 is the X3D-M-like default) as well
+    # as the ResNet-style 50/101 entries this repo originally shipped.
+    depth: Union[int, float]
     in_channels: int = 3
     num_stages: int = 4
     spatial_strides: Sequence[int] = (1, 2, 2, 2)
@@ -245,6 +248,11 @@ class ResNet_X3D(nn.Module):
     dtype: Dtype = jnp.float32
 
     arch_settings = {
+        # reference depth factors (resnet_x3d.py:420-426)
+        1: (X3DBottleneck, (1, 2, 5, 3)),
+        2.2: (X3DBottleneck, (3, 5, 11, 7)),
+        5: (X3DBottleneck, (5, 10, 25, 15)),
+        # ResNet-style block counts kept for existing configs/goldens
         50: (X3DBottleneck, (3, 4, 6, 3)),
         101: (X3DBottleneck, (3, 4, 23, 3)),
     }

@@ -222,6 +222,27 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
                 out.append(('params', prefix + base + ('bias',)))
         return out or None
 
+    # X3D extras (resnet_x3d.py): Sequential temporal stem conv1_3x1,
+    # projection tail conv5/fc1. The stem's bn1 is constructed by the
+    # reference but never used in its forward (resnet_x3d.py:648 comments
+    # out norm1) — our model has no counterpart, so those keys fall
+    # through to the unexpected list of the non-strict load.
+    if parts[0] == 'conv1_3x1':
+        if parts[1] == '0' and parts[-1] == 'weight':
+            return [('params', prefix + ('conv1_3x1', 'kernel'))]
+        if parts[1] == '1':
+            return bn_paths(prefix + ('conv1_3x1_bn',), parts[2])
+    if parts[0] in ('conv5', 'fc1') and parts[-1] == 'weight' \
+            and len(parts) == 2:
+        return [('params', prefix + (parts[0], 'kernel'))]
+
+    # R(2+1)D stem (resnet_r3d.py:276-292): conv1_s/bn1_s/conv1_t/bn1_t;
+    # our _BN wrapper nests the flax BatchNorm under a 'bn' child.
+    if parts[0] in ('conv1_s', 'conv1_t') and parts[-1] == 'weight':
+        return [('params', prefix + (parts[0], 'kernel'))]
+    if parts[0] in ('bn1_s', 'bn1_t'):
+        return bn_paths(prefix + (parts[0], 'bn'), parts[1])
+
     # stem
     if parts[0] == 'conv1' and parts[-1] == 'weight' and len(parts) == 2:
         return [('params', prefix + ('conv1', 'kernel'))]
@@ -256,6 +277,31 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
                 return [('batch_stats', mvf + ('bn_mean',))]
             if leaf == 'running_var':
                 return [('batch_stats', mvf + ('bn_var',))]
+        if rest[0] == 'se' and rest[1] in ('fc1', 'fc2'):
+            # X3D squeeze-excite (common/se_module.py): 1x1x1 conv pair
+            leaf = 'kernel' if rest[2] == 'weight' else 'bias'
+            return [('params', base + ('se', rest[1], leaf))]
+        if rest[0] == 'conv2' and rest[1] == 'shift_conv':
+            # SimpleCoST replaces conv2 (CoST.py:38-42; the wrapped conv
+            # is discarded — `self.net` is commented out)
+            return [('params', base + ('CoST_0', 'shift_conv'))]
+        if rest[0] == 'conv2' and rest[1] == 'bn':
+            return bn_paths(base + ('CoST_0', 'bn'), rest[2])
+        return None
+
+    def r3d_block_paths(base: Tuple[str, ...], rest):
+        """R(2+1)D block internals (resnet_r3d.py:14-95, block_type 2.5d):
+        factored conv1/conv2 carry conv_s/bn_s/conv_t children; conv3/bn3
+        is the shortcut projection; _BN nests flax BatchNorm under 'bn'."""
+        if rest[0] in ('conv1', 'conv2'):
+            if rest[1] in ('conv_s', 'conv_t') and rest[-1] == 'weight':
+                return [('params', base + (rest[0], rest[1], 'kernel'))]
+            if rest[1] == 'bn_s':
+                return bn_paths(base + (rest[0], 'bn_s', 'bn'), rest[2])
+        if rest[0] == 'conv3' and rest[-1] == 'weight' and len(rest) == 2:
+            return [('params', base + ('conv3', 'kernel'))]
+        if rest[0] in ('bn1', 'bn2', 'bn3'):
+            return bn_paths(base + (rest[0], 'bn'), rest[1])
         return None
 
     # SlowFast pathways (resnet_i3d_slowfast.py Pathway): our flax modules
@@ -286,6 +332,13 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
     m = re.match(r'layer(\d+)', parts[0])
     if not m:
         return None
+    if parts[1].isalpha():
+        # R(2+1)D blocks are letter-named by the reference's ModuleList
+        # ('a','b',... — resnet_r3d_utils.py:30-49; <26 blocks per stage
+        # at every supported depth)
+        idx = ord(parts[1]) - ord('a')
+        return r3d_block_paths(prefix + (f'layer{m.group(1)}_{idx}',),
+                               parts[2:])
     return block_paths(prefix + (f'layer{m.group(1)}_{parts[1]}',),
                        parts[2:])
 
@@ -333,11 +386,21 @@ def import_torch_weights(state_dict: Dict[str, np.ndarray],
                     v = np.broadcast_to(
                         v.mean(axis=2, keepdims=True),
                         v.shape[:2] + (inflate_in_channels,) + v.shape[3:])
+            elif path[-1] == 'kernel' and v.ndim == 5 \
+                    and len(path) >= 3 and path[-3] == 'se':
+                # X3D SE pair: reference 1x1x1 Conv3d (O,I,1,1,1) -> our
+                # Dense (I,O) (common.py::SEModule)
+                v = np.transpose(v.reshape(v.shape[0], v.shape[1]))
             elif path[-1] == 'kernel' and v.ndim == 5:
                 # torch Conv3d (O,I,kT,kH,kW) -> flax (kT,kH,kW,I,O)
                 v = np.transpose(v, (2, 3, 4, 1, 0))
             elif path[-1] == 'kernel' and v.ndim == 2:
                 v = np.transpose(v)  # torch Linear (out,in) -> flax (in,out)
+            elif path[-1] == 'shift_conv' and len(path) >= 2 \
+                    and path[-2] == 'CoST_0':
+                # CoST dense Conv3d (C,C,1,3,3) -> our shared 2-D HWIO
+                # (3,3,I,O) kernel (modules/cost.py:40)
+                v = np.transpose(v[:, :, 0], (2, 3, 1, 0))
             elif path[-1] in ('shift_conv', 'h_conv', 'w_conv'):
                 v = _mvf_taps(v)
             if collection in tree and _set(tree[collection], path, v,

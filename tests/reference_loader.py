@@ -48,6 +48,18 @@ def _install_mmcv_shim():
     import cv2
     import numpy as np
 
+    # numpy>=1.24 removed the deprecated builtin aliases the 2020-era
+    # reference code uses (``resnet_r3d.py:310`` ``.astype(np.int)``,
+    # ``datasets/pipelines/loading.py:112``). Restore them so the
+    # reference bytes execute unmodified; the aliases are exact synonyms
+    # of the builtins, so numerics are unaffected.
+    import warnings
+    for _alias, _builtin in (('int', int), ('float', float)):
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore', FutureWarning)
+            if not hasattr(np, _alias):
+                setattr(np, _alias, _builtin)
+
     mmcv = types.ModuleType('mmcv')
     mmcv._mvfnet_tpu_shim = True
     mmcv.is_str = lambda x: isinstance(x, str)

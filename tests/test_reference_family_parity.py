@@ -1,0 +1,377 @@
+"""Family-zoo parity against the ACTUAL reference model code.
+
+Completes the round-5 authentic-oracle program across the model zoo: for
+every backbone family the reference implements
+(``/root/reference/codes/models/backbones/``), build the reference's own
+recognizer (its bytes, loaded via tests/reference_loader.py), transfer its
+randomly-initialized ``state_dict()`` into our Flax model through the
+production importer (``utils/checkpoint.py::import_torch_weights``), and
+pin eval scores + train-mode loss in float64.
+
+This catches two failure classes at once: importer vocabulary gaps (a key
+that doesn't map fails the all-imported precondition) and architectural
+misreadings (a structural divergence shows up as a score mismatch even
+when every weight mapped). The R50+MVF 2-D family and I3D are pinned in
+tests/test_reference_oracle_parity.py; here:
+
+- ResNet_I3D_SlowFast (``resnet_i3d_slowfast.py:210-530``) + lateral conv
+  + I3DSlowFastClsHead concat
+- ResNet_X3D (``resnet_x3d.py:382-660``) at the reference's own depth
+  factor 2.2 (stage blocks (3,5,11,7))
+- ResNet_R3D / R(2+1)D (``resnet_r3d.py:237-420``, block_type='2.5d')
+- MobileNetV2 2-D (``mobilenet_v2.py:89-180``)
+- BNInception 2-D (``bninception.py``, the caffe-converted TSN backbone)
+- InceptionV1_I3D (``inception_v1_i3d.py``)
+- SimpleCoST module inside ResNet (``modules/CoST.py:59-120``)
+
+All random inits are seeded torch; BN buffers are perturbed from their
+(0,1) defaults so running-stat wiring is actually exercised.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mvfnet_tpu.models import build_recognizer
+from mvfnet_tpu.utils.checkpoint import import_torch_weights
+
+from reference_loader import load_reference
+
+NUM_CLASSES = 8
+HW = 64
+B = 2
+
+
+@pytest.fixture(scope='module')
+def f64():
+    jax.config.update('jax_enable_x64', True)
+    yield
+    jax.config.update('jax_enable_x64', False)
+
+
+@pytest.fixture(scope='module')
+def ref():
+    return load_reference()
+
+
+def perturb_bn(model, seed=2):
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm3d,
+                              torch.nn.BatchNorm1d)):
+                m.running_mean.normal_(0, 0.05)
+                m.running_var.uniform_(0.8, 1.2)
+
+
+def to_jax_f64(model, flax_cfg, init_shape, recognizer3d=False):
+    """Init our model, cast f64, and import the reference state_dict."""
+    m = build_recognizer(flax_cfg, test_cfg=dict(average_clips=None))
+    variables = m.init(
+        {'params': jax.random.PRNGKey(0), 'dropout': jax.random.PRNGKey(1)},
+        jnp.zeros(init_shape, jnp.float32),
+        jnp.zeros((1,), jnp.int32), return_loss=True, train=True)
+    variables = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x), jnp.float64), variables)
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    return m, import_torch_weights(sd, variables)
+
+
+def compare_eval_and_train(ref, ref_model, model, variables, imgs, labels,
+                           rtol=1e-9, loss_rtol=1e-10):
+    """imgs: ours-layout numpy f64. Reference layout is derived from it."""
+    if imgs.ndim == 6:          # (B, clips, T, H, W, C) -> [B,clips,C,T,H,W]
+        ref_in = torch.from_numpy(imgs.transpose(0, 1, 5, 2, 3, 4))
+    else:                       # (B, S, H, W, C) -> [B, S, C, H, W]
+        ref_in = torch.from_numpy(imgs.transpose(0, 1, 4, 2, 3))
+    y = torch.from_numpy(labels)
+
+    ref_model.eval()
+    with torch.no_grad():
+        ref_scores = ref_model(img_group=ref_in, label=None,
+                               return_loss=False, return_numpy=True)
+    ours = model.apply(variables, jnp.asarray(imgs), None, return_loss=False)
+    np.testing.assert_allclose(np.asarray(ours), ref_scores,
+                               rtol=rtol, atol=1e-12)
+
+    ref_model.train()
+    with torch.no_grad():
+        losses = ref_model(img_group=ref_in, label=y, return_loss=True)
+    our_losses, _ = model.apply(
+        variables, jnp.asarray(imgs), jnp.asarray(labels),
+        return_loss=True, train=True,
+        rngs={'dropout': jax.random.PRNGKey(0)}, mutable=['batch_stats'])
+    np.testing.assert_allclose(float(our_losses['loss_cls']),
+                               losses['loss_cls'].item(), rtol=loss_rtol)
+
+
+# ---------------------------------------------------------------------------
+# SlowFast
+# ---------------------------------------------------------------------------
+
+class TestSlowFastVsReferenceCode:
+    T, TAU, ALPHA = 8, 4, 4
+
+    def test_jax_matches_reference(self, f64, ref):
+        torch.manual_seed(10)
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer3D',
+                 backbone=dict(type='ResNet_I3D_SlowFast', depth=50,
+                               tau=self.TAU, alpha=self.ALPHA, beta_inv=8,
+                               out_indices=(3,),
+                               slow_inflate_freq=(0, 0, 1, 1),
+                               fast_inflate_freq=(1, 1, 1, 1),
+                               bn_eval=False),
+                 cls_head=dict(type='I3DSlowFastClsHead', spatial_size=-1,
+                               temporal_size=-1, dropout_ratio=0.0,
+                               in_channels=2048 + 256,
+                               num_classes=NUM_CLASSES)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(
+            type='Recognizer3D',
+            backbone=dict(type='ResNet_I3D_SlowFast', depth=50,
+                          tau=self.TAU, alpha=self.ALPHA, beta_inv=8,
+                          fast_pack=0, out_indices=(3,),
+                          slow_inflate_freq=(0, 0, 1, 1),
+                          fast_inflate_freq=(1, 1, 1, 1), norm_eval=False,
+                          norm_cfg=dict(type='BN3d', requires_grad=True)),
+            cls_head=dict(type='I3DSlowFastClsHead', spatial_size=-1,
+                          temporal_size=-1, dropout_ratio=0.0,
+                          in_channels=2048 + 256, num_classes=NUM_CLASSES),
+            dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, 1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(20)
+        imgs = rng.randn(B, 1, self.T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
+
+
+# ---------------------------------------------------------------------------
+# X3D
+# ---------------------------------------------------------------------------
+
+class TestX3DVsReferenceCode:
+    T = 4
+
+    def test_jax_matches_reference(self, f64, ref):
+        torch.manual_seed(11)
+        # zero_init_residual=False dodges a bug in the reference's OWN
+        # init path: with its default (True) ``init_weights`` crashes on
+        # ``constant_init(m.norm3, 0)`` — the attribute is ``bn3``
+        # (``resnet_x3d.py:639-642``). Found by this oracle; see
+        # docs/DESIGN.md round-5 notes.
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer3D',
+                 backbone=dict(type='ResNet_X3D', depth=2.2, out_indices=(3,),
+                               zero_init_residual=False,
+                               inflate_style='mobile',  # ours' only style
+                               norm_eval=False,
+                               norm_cfg=dict(type='BN3d',
+                                             requires_grad=True)),
+                 cls_head=dict(type='I3DClsHead', spatial_size=-1,
+                               temporal_size=-1, dropout_ratio=0.0,
+                               in_channels=2048, num_classes=NUM_CLASSES)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(
+            type='Recognizer3D',
+            backbone=dict(type='ResNet_X3D', depth=2.2, norm_eval=False,
+                          norm_cfg=dict(type='BN3d', requires_grad=True)),
+            cls_head=dict(type='I3DClsHead', spatial_size=-1,
+                          temporal_size=-1, dropout_ratio=0.0,
+                          in_channels=2048, num_classes=NUM_CLASSES),
+            dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, 1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(21)
+        imgs = rng.randn(B, 1, self.T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
+
+
+# ---------------------------------------------------------------------------
+# R(2+1)D
+# ---------------------------------------------------------------------------
+
+class TestR3DVsReferenceCode:
+    T = 4
+
+    def test_jax_matches_reference(self, f64, ref):
+        torch.manual_seed(12)
+        bb = dict(type='ResNet_R3D', depth=10, block_type='2.5d',
+                  conv1_kernel_t=3, conv1_stride_t=1, use_pool1=False,
+                  bn_eval=False, bn_frozen=False)
+        head = dict(type='I3DClsHead', spatial_size=-1, temporal_size=-1,
+                    dropout_ratio=0.0, in_channels=512,
+                    num_classes=NUM_CLASSES)
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer3D', backbone=dict(bb), cls_head=dict(head)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(type='Recognizer3D', backbone=dict(bb),
+                        cls_head=dict(head), dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, 1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(22)
+        imgs = rng.randn(B, 1, self.T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 (2-D)
+# ---------------------------------------------------------------------------
+
+class TestMobileNetV2VsReferenceCode:
+    T = 2
+
+    def test_jax_matches_reference(self, f64, ref):
+        torch.manual_seed(13)
+        head = dict(type='TSNClsHead', spatial_size=-1, spatial_type='avg',
+                    dropout_ratio=0.0, in_channels=1280, init_std=0.01,
+                    num_classes=NUM_CLASSES)
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer2D',
+                 backbone=dict(type='MobileNetV2'),
+                 cls_head=dict(head)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(type='Recognizer2D',
+                        backbone=dict(type='MobileNetV2', norm_eval=False),
+                        cls_head=dict(head), dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(23)
+        imgs = rng.randn(B, self.T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
+
+
+# ---------------------------------------------------------------------------
+# BNInception (2-D, caffe-converted TSN backbone)
+# ---------------------------------------------------------------------------
+
+class TestBNInceptionVsReferenceCode:
+    T = 2
+
+    def test_jax_matches_reference(self, f64, ref):
+        torch.manual_seed(14)
+        head = dict(type='TSNClsHead', spatial_size=-1, spatial_type='avg',
+                    dropout_ratio=0.0, in_channels=1024, init_std=0.01,
+                    num_classes=NUM_CLASSES)
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer2D',
+                 backbone=dict(type='BNInception', bn_eval=False),
+                 cls_head=dict(head)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(type='Recognizer2D',
+                        backbone=dict(type='BNInception', bn_eval=False),
+                        cls_head=dict(head), dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, self.T, 96, 96, 3))
+
+        rng = np.random.RandomState(24)
+        imgs = rng.randn(B, self.T, 96, 96, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
+
+
+# ---------------------------------------------------------------------------
+# InceptionV1_I3D
+# ---------------------------------------------------------------------------
+
+class TestInceptionV1I3DVsReferenceCode:
+    T = 8
+
+    def test_jax_matches_reference(self, f64, ref):
+        torch.manual_seed(15)
+        head = dict(type='I3DClsHead', spatial_size=-1, temporal_size=-1,
+                    dropout_ratio=0.0, in_channels=1024,
+                    num_classes=NUM_CLASSES)
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer3D',
+                 backbone=dict(type='InceptionV1_I3D', bn_eval=False),
+                 cls_head=dict(head)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(type='Recognizer3D',
+                        backbone=dict(type='InceptionV1_I3D', bn_eval=False),
+                        cls_head=dict(head), dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, 1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(25)
+        imgs = rng.randn(B, 1, self.T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
+
+
+# ---------------------------------------------------------------------------
+# CoST module inside ResNet (2-D recognizer)
+# ---------------------------------------------------------------------------
+
+class TestCoSTVsReferenceCode:
+    T = 2
+
+    def test_jax_matches_reference(self, f64, ref):
+        torch.manual_seed(16)
+        head = dict(type='TSNClsHead', spatial_size=-1, spatial_type='avg',
+                    dropout_ratio=0.0, in_channels=2048, init_std=0.01,
+                    num_classes=NUM_CLASSES)
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer2D',
+                 backbone=dict(type='ResNet', depth=50, out_indices=(3,),
+                               norm_eval=False,
+                               norm_cfg=dict(type='BN', requires_grad=True)),
+                 cls_head=dict(head),
+                 module_cfg=dict(type='CoST', n_segment=self.T,
+                                 shift_freq=(0, 0, 1, 1))),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(
+            type='Recognizer2D',
+            backbone=dict(type='ResNet', depth=50, out_indices=(3,),
+                          norm_eval=False,
+                          norm_cfg=dict(type='BN', requires_grad=True)),
+            cls_head=dict(head),
+            module_cfg=dict(type='CoST', n_segment=self.T,
+                            shift_freq=(0, 0, 1, 1)),
+            dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(26)
+        imgs = rng.randn(B, self.T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
