@@ -35,10 +35,13 @@ import torch
 import jax
 import jax.numpy as jnp
 
+from mvfnet_tpu.engine.optim import build_optimizer, make_step_lr_schedule
+from mvfnet_tpu.engine.train_step import TrainState, make_train_step
 from mvfnet_tpu.models import build_recognizer
 from mvfnet_tpu.utils.checkpoint import import_torch_weights
 
 from reference_loader import load_reference
+from test_train_trajectory_parity import mmcv_lr_factor
 
 NUM_CLASSES = 8
 HW = 64
@@ -153,6 +156,116 @@ class TestSlowFastVsReferenceCode:
         labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
         compare_eval_and_train(ref, ref_model, model, variables, imgs,
                                labels)
+
+
+class TestSlowFastTrajectoryVsReferenceOptimizer:
+    """Composed f64 train steps of the 3-D family against the reference's
+    own ``build_optimizer`` + ``batch_processor`` — extends the 2-D
+    trajectory oracle (test_reference_oracle_parity.py) to the SlowFast
+    recognizer: dual-path backbone, lateral convs, concat head."""
+
+    T, TAU, ALPHA = 8, 4, 4
+    STEPS, MILESTONE, WARMUP = 3, 2, 1
+    LR, CLIP = 0.02, 2.0
+
+    def test_three_steps_match(self, f64, ref):
+        torch.manual_seed(30)
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer3D',
+                 backbone=dict(type='ResNet_I3D_SlowFast', depth=50,
+                               tau=self.TAU, alpha=self.ALPHA, beta_inv=8,
+                               out_indices=(3,),
+                               slow_inflate_freq=(0, 0, 1, 1),
+                               fast_inflate_freq=(1, 1, 1, 1),
+                               bn_eval=False),
+                 cls_head=dict(type='I3DSlowFastClsHead', spatial_size=-1,
+                               temporal_size=-1, dropout_ratio=0.0,
+                               in_channels=2048 + 256,
+                               num_classes=NUM_CLASSES)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        perturb_bn(ref_model, seed=31)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(
+            type='Recognizer3D',
+            backbone=dict(type='ResNet_I3D_SlowFast', depth=50,
+                          tau=self.TAU, alpha=self.ALPHA, beta_inv=8,
+                          fast_pack=0, out_indices=(3,),
+                          slow_inflate_freq=(0, 0, 1, 1),
+                          fast_inflate_freq=(1, 1, 1, 1), norm_eval=False,
+                          norm_cfg=dict(type='BN3d', requires_grad=True)),
+            cls_head=dict(type='I3DSlowFastClsHead', spatial_size=-1,
+                          temporal_size=-1, dropout_ratio=0.0,
+                          in_channels=2048 + 256, num_classes=NUM_CLASSES),
+            dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, 1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(32)
+        imgs = rng.randn(self.STEPS, B, 1, self.T, HW, HW, 3) * 0.5
+        labels = rng.randint(0, NUM_CLASSES,
+                             size=(self.STEPS, B)).astype(np.int64)
+
+        # --- reference loop: its own build_optimizer (obj_from_dict
+        #     path), batch_processor, clip_grad_norm_, per-iter mmcv LR
+        opt = ref.build_optimizer(
+            ref_model, dict(type='SGD', lr=self.LR, momentum=0.9,
+                            weight_decay=1e-4, nesterov=True))
+        base_lrs = [g['lr'] for g in opt.param_groups]
+        ref_model.train()
+        ref_losses = []
+        for t in range(self.STEPS):
+            f = mmcv_lr_factor(t, [self.MILESTONE], self.WARMUP)
+            for g, lr0 in zip(opt.param_groups, base_lrs):
+                g['lr'] = lr0 * f
+            x = torch.from_numpy(imgs[t].transpose(0, 1, 5, 2, 3, 4))
+            y = torch.from_numpy(labels[t])
+            opt.zero_grad()
+            outputs = ref.batch_processor(
+                ref_model, dict(img_group=x, label=y), train_mode=True)
+            outputs['loss'].backward()
+            torch.nn.utils.clip_grad_norm_(ref_model.parameters(),
+                                           self.CLIP)
+            opt.step()
+            ref_losses.append(outputs['log_vars']['loss'])
+
+        # --- ours
+        sched = make_step_lr_schedule(
+            self.LR, [self.MILESTONE], iters_per_epoch=1, warmup='linear',
+            warmup_iters=self.WARMUP, warmup_ratio=0.1)
+        tx = build_optimizer(variables['params'],
+                             dict(type='SGD', lr=self.LR, momentum=0.9,
+                                  weight_decay=1e-4, nesterov=True),
+                             sched,
+                             grad_clip=dict(max_norm=self.CLIP,
+                                            norm_type=2))
+        step_fn = make_train_step(model, tx, mesh=None, donate=False)
+        state = TrainState.create(variables, tx)
+        key = jax.random.PRNGKey(0)
+        losses = []
+        for t in range(self.STEPS):
+            state, metrics = step_fn(state, jnp.asarray(imgs[t]),
+                                     jnp.asarray(labels[t]), key)
+            losses.append(float(metrics['loss']))
+
+        np.testing.assert_allclose(losses, ref_losses, rtol=1e-9)
+        assert losses[0] != losses[-1]
+
+        # final whole-tree state (params + BN buffers) matches
+        sd = {k: v.detach().numpy()
+              for k, v in ref_model.state_dict().items()}
+        ref_vars = import_torch_weights(sd, state.variables())
+        flat_ours = dict(
+            ('/'.join(str(p) for p in path), leaf)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(
+                state.variables()))
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref_vars)
+        assert flat_ref
+        for path, ref_leaf in flat_ref:
+            k = '/'.join(str(p) for p in path)
+            np.testing.assert_allclose(
+                np.asarray(flat_ours[k]), np.asarray(ref_leaf),
+                rtol=1e-7, atol=1e-9, err_msg=k)
 
 
 # ---------------------------------------------------------------------------
