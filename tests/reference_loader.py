@@ -132,7 +132,17 @@ def _install_mmcv_shim():
         pw = int(np.ceil(img.shape[1] / divisor)) * divisor
         return impad(img, (ph, pw), pad_val)
 
+    def imfrombytes(content, flag='color'):
+        # mmcv.image.imfrombytes: cv2.imdecode on the raw byte buffer;
+        # 'color' -> BGR HxWx3, 'grayscale' -> HxW.
+        buf = np.frombuffer(content, np.uint8)
+        mode = {'color': cv2.IMREAD_COLOR,
+                'grayscale': cv2.IMREAD_GRAYSCALE,
+                'unchanged': cv2.IMREAD_UNCHANGED}[flag]
+        return cv2.imdecode(buf, mode)
+
     mmcv.imresize = imresize
+    mmcv.imfrombytes = imfrombytes
     mmcv.imrescale = imrescale
     mmcv.imcrop = imcrop
     mmcv.imflip = imflip
@@ -423,10 +433,22 @@ def load_reference_pipelines():
     formating = _load_real('refcodes.datasets.pipelines.formating',
                            'datasets/pipelines/formating.py')
 
+    # loading.py needs ``from ...utils import FileClient``; wire in OUR
+    # FileClient — byte-fetch semantics (.get -> bytes) match the
+    # reference's (codes/utils/file_client.py), and the parity tests only
+    # exercise the 'disk' backend.
+    from mvfnet_tpu.utils.file_client import FileClient
+    sys.modules['refcodes.utils'].FileClient = FileClient
+    loading = _load_real('refcodes.datasets.pipelines.loading',
+                         'datasets/pipelines/loading.py')
+
     _pipe_cache = types.SimpleNamespace(
         PIPELINES=dbuilder.PIPELINES,
         Compose=compose.Compose,
         augmentations=aug,
         formating=formating,
+        loading=loading,
+        SampleFrames=loading.SampleFrames,
+        FrameSelector=loading.FrameSelector,
     )
     return _pipe_cache
