@@ -442,6 +442,13 @@ def load_reference_pipelines():
     loading = _load_real('refcodes.datasets.pipelines.loading',
                          'datasets/pipelines/loading.py')
 
+    # the real dataset classes (torch Dataset + the real Compose): base.py
+    # does ``from .pipelines import Compose``
+    sys.modules['refcodes.datasets.pipelines'].Compose = compose.Compose
+    _load_real('refcodes.datasets.base', 'datasets/base.py')
+    rawframes = _load_real('refcodes.datasets.rawframes_dataset',
+                           'datasets/rawframes_dataset.py')
+
     _pipe_cache = types.SimpleNamespace(
         PIPELINES=dbuilder.PIPELINES,
         Compose=compose.Compose,
@@ -450,5 +457,6 @@ def load_reference_pipelines():
         loading=loading,
         SampleFrames=loading.SampleFrames,
         FrameSelector=loading.FrameSelector,
+        RawFramesDataset=rawframes.RawFramesDataset,
     )
     return _pipe_cache
