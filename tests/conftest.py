@@ -46,6 +46,7 @@ _GOLDEN_MODULES = {'test_golden_regression', 'test_release_vocab'}
 _SLOW_MODULES = {
     'test_train_trajectory_parity', 'test_reference_oracle_parity',
     'test_reference_family_parity', 'test_reference_e2e_parity',
+    'test_reference_checkpoint_parity',
     'test_temporal_learning', 'test_golden_regression',
     'test_multichip_slowfast', 'test_quant_int8_3d', 'test_bf16_policy',
 }

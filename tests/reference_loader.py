@@ -62,7 +62,15 @@ def _install_mmcv_shim():
 
     mmcv = types.ModuleType('mmcv')
     mmcv._mvfnet_tpu_shim = True
+    mmcv.__version__ = '0.0.0+mvfnet-tpu-shim'
     mmcv.is_str = lambda x: isinstance(x, str)
+
+    def mkdir_or_exist(dir_name):
+        if dir_name:
+            import os
+            os.makedirs(dir_name, exist_ok=True)
+
+    mmcv.mkdir_or_exist = mkdir_or_exist
     mmcv.is_tuple_of = lambda seq, t: (isinstance(seq, tuple)
                                        and all(isinstance(i, t) for i in seq))
 
@@ -460,3 +468,27 @@ def load_reference_pipelines():
         RawFramesDataset=rawframes.RawFramesDataset,
     )
     return _pipe_cache
+
+
+_ckpt_cache = None
+
+
+def load_reference_checkpoint():
+    """Import the reference's checkpoint I/O (``codes/utils/checkpoint.py``)
+    byte-identical: non-strict ``load_state_dict`` with key-diff reporting,
+    ``module.`` strip, ``state_dict`` unwrap, ``save_checkpoint``.
+    torchvision is stubbed — it is only touched for ``modelzoo://`` URLs,
+    which the parity tests never use."""
+    global _ckpt_cache
+    if _ckpt_cache is not None:
+        return _ckpt_cache
+    load_reference()
+    if 'torchvision' not in sys.modules:
+        tv = types.ModuleType('torchvision')
+        tv.models = types.ModuleType('torchvision.models')
+        tv.models.__path__ = []
+        sys.modules['torchvision'] = tv
+        sys.modules['torchvision.models'] = tv.models
+    _ckpt_cache = _load_real('refcodes.utils.checkpoint',
+                             'utils/checkpoint.py')
+    return _ckpt_cache
