@@ -16,7 +16,10 @@ def parse_args():
                         required=True)
     parser.add_argument('--datalist', required=True,
                         help='annotation file with labels')
-    parser.add_argument('--apply_softmax', action='store_true')
+    # both spellings: the reference CLI uses --apply-softmax
+    # (report_accuracy.py:27), earlier revisions here used --apply_softmax
+    parser.add_argument('--apply_softmax', '--apply-softmax',
+                        action='store_true')
     return parser.parse_args()
 
 
