@@ -10,7 +10,7 @@
 from __future__ import annotations
 
 import itertools
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -93,13 +93,17 @@ class RelationModuleMultiScale(nn.Module):
         stochastic = self.has_rng('subsets')
         out = None
         for si, scale in enumerate(scales):
-            # one shared MLP per scale, applied to every sampled subset
+            # one shared MLP per scale, applied to every sampled subset.
+            # Positional names mirror the reference's
+            # ``fc_fusion_scales.{si}`` ModuleList indices
+            # (relation_consensus.py:59-68) so the torch importer can map
+            # them without knowing num_frames.
             fc1 = nn.Dense(self.num_bottleneck, dtype=self.dtype,
                            param_dtype=jnp.float32,
-                           name=f'scale{scale}_fc1')
+                           name=f'fc_fusion_{si}_fc1')
             fc2 = nn.Dense(self.num_classes, dtype=self.dtype,
                            param_dtype=jnp.float32,
-                           name=f'scale{scale}_fc2')
+                           name=f'fc_fusion_{si}_fc2')
             combos = _all_relation_subsets(self.num_frames, scale)
             k = 1 if si == 0 else min(3, len(combos))
 
@@ -131,14 +135,27 @@ class RelationModuleMultiScale(nn.Module):
 
 
 def return_trn(relation_type: str, img_feature_dim: int, num_frames: int,
-               num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
-    """Factory matching the reference's ``return_TRN``."""
+               num_classes: int, dtype: Any = jnp.float32,
+               name: Optional[str] = None) -> nn.Module:
+    """Factory matching the reference's ``return_TRN``
+    (``relation_consensus.py:173-183``).
+
+    NOTE the reference's own TSNClsHead wiring of this factory is broken:
+    ``tsn_clshead.py:42-44`` passes ``in_channels`` (e.g. 2048) as
+    ``img_feature_dim`` while ``new_fc`` projects to 256
+    (``tsn_clshead.py:63-65``), so the reference TRN head forward crashes on
+    the ``view`` in ``RelationModule.forward`` (:30-31). We pass the
+    projected dim (256) — the TSM/TRN-upstream intent — and pin it against
+    the reference's consensus modules composed correctly
+    (tests/test_reference_nl_trn_parity.py).
+    """
     if relation_type == 'TRN':
         return RelationModule(img_feature_dim=img_feature_dim,
                               num_frames=num_frames, num_classes=num_classes,
-                              dtype=dtype)
+                              dtype=dtype, name=name)
     if relation_type == 'TRNmultiscale':
         return RelationModuleMultiScale(img_feature_dim=img_feature_dim,
                                         num_frames=num_frames,
-                                        num_classes=num_classes, dtype=dtype)
+                                        num_classes=num_classes, dtype=dtype,
+                                        name=name)
     raise ValueError(f'Unknown TRN type {relation_type}')

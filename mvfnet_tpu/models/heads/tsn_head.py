@@ -88,7 +88,8 @@ class TSNClsHead(nn.Module):
             emb = emb.reshape((-1, num_seg, emb.shape[-1]))
             cfg = self.consensus_cfg or {}
             trn = return_trn(ctype, 256, cfg.get('num_frames', num_seg),
-                             self.num_classes, dtype=self.dtype)
+                             self.num_classes, dtype=self.dtype,
+                             name='consensus')
             score = trn(emb)
             return score[:, 0]
         raise NotImplementedError(ctype)

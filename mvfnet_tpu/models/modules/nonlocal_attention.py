@@ -58,21 +58,26 @@ class LocalAttention(nn.Module):
         k2 = k * k
         identity = x
 
-        if self.use_time_shift:
-            # first half of channels shifted +1 in time (zero-padded front)
-            half = c // 2
-            shifted = jnp.pad(x[..., :half],
-                              [(0, 0), (1, 0), (0, 0), (0, 0), (0, 0)]
-                              )[:, :t]
-            x = jnp.concatenate([shifted, x[..., half:]], axis=-1)
-
         qkv = nn.Conv(self.hidden * 3, (1, 1, 1), use_bias=True,
                       dtype=self.dtype, param_dtype=jnp.float32,
                       name='conv_in')(x)
         theta, phi, g = jnp.split(qkv, 3, axis=-1)
 
+        def time_shift(v):
+            # reference ``_time_shift`` (local_attention.py:156-164), applied
+            # inside ``_unfold_and_view`` to each of theta/phi/g AFTER the
+            # qkv projection: first half of the hidden channels shifted +1
+            # in time (zero-padded front), second half untouched.
+            half = v.shape[-1] // 2
+            shifted = jnp.pad(v[..., :half],
+                              [(0, 0), (1, 0), (0, 0), (0, 0), (0, 0)]
+                              )[:, :t]
+            return jnp.concatenate([shifted, v[..., half:]], axis=-1)
+
         def unfold(v):
             # (N, T, H, W, hid) -> (N, T*K2, H*W, hid)
+            if self.use_time_shift:
+                v = time_shift(v)
             offs = [_shift2d(v, dy, dx)
                     for dy in range(-self.padding, k - self.padding)
                     for dx in range(-self.padding, k - self.padding)]

@@ -185,6 +185,19 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
         if parts[1] in ('new_fc', 'new_cls', 'fc_cls'):
             leaf = 'kernel' if parts[-1] == 'weight' else 'bias'
             return [('params', ('head_mod', 'fc', leaf))]
+        if parts[1] == 'segmental_consensus':
+            # TRN consensus MLPs (relation_consensus.py): Sequential index
+            # 1/3 are the two Linears; RelationModule names its stack
+            # 'classifier', the multiscale variant 'fc_fusion_scales.{i}'
+            leaf = 'kernel' if parts[-1] == 'weight' else 'bias'
+            fcn = {'1': 'fc1', '3': 'fc2'}
+            if parts[2] == 'classifier' and parts[3] in fcn:
+                return [('params',
+                         ('head_mod', 'consensus', fcn[parts[3]], leaf))]
+            if parts[2] == 'fc_fusion_scales' and parts[4] in fcn:
+                return [('params',
+                         ('head_mod', 'consensus',
+                          f'fc_fusion_{parts[3]}_{fcn[parts[4]]}', leaf))]
         return None
     elif parts[0] == 'fc':
         # torchvision classifier; recognizer head is trained fresh — skip
@@ -202,6 +215,25 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
         if leaf == 'running_var':
             return [('batch_stats', base + ('var',))]
         return None
+
+    # MobileNetV2 + MVF surgery (recognizer2d.py:87-103): conv[0] — the
+    # first pointwise conv of an expansion InvertedResidual — is wrapped by
+    # MVF, so its names become features.K.conv.0.{net,shift_conv,h_conv,
+    # w_conv,bn}.* (MVF.py:57-80)
+    if parts[0] == 'features' and len(parts) >= 6 and parts[2] == 'conv' \
+            and parts[3] == '0' and parts[4] in ('net', 'shift_conv',
+                                                 'h_conv', 'w_conv', 'bn'):
+        base = prefix + (f'block{int(parts[1]) - 1}',)
+        if parts[4] == 'net' and parts[-1] == 'weight':
+            return [('params', base + ('pw_conv', 'kernel'))]
+        if parts[4] in ('shift_conv', 'h_conv', 'w_conv'):
+            return [('params', base + ('MVF_0', parts[4]))]
+        mvf = base + ('MVF_0',)
+        return {'weight': [('params', mvf + ('bn_scale',))],
+                'bias': [('params', mvf + ('bn_bias',))],
+                'running_mean': [('batch_stats', mvf + ('bn_mean',))],
+                'running_var': [('batch_stats', mvf + ('bn_var',))],
+                }.get(parts[5])
 
     # BNInception / InceptionV1_I3D / MobileNetV2 vocabularies
     for mapper in (_bninception_key, _mobilenet_key):
@@ -331,6 +363,24 @@ def _torch_key_to_flax(key: str) -> Optional[List[Tuple[str, Tuple[str, ...]]]]:
 
     m = re.match(r'layer(\d+)', parts[0])
     if not m:
+        return None
+    if len(parts) > 2 and parts[2] in ('block', 'nl'):
+        # NL3DWrapper surgery names (local_attention.py:170-189 +
+        # make_non_local :192-222): the wrapped bottleneck nests under
+        # '.block', the LocalAttention under '.nl'. Our flax tree keeps the
+        # block at layerX_j and puts the attention in a sibling module
+        # nonlocalX_j (backbones/resnet.py).
+        if parts[2] == 'block':
+            return block_paths(prefix + (f'layer{m.group(1)}_{parts[1]}',),
+                               parts[3:])
+        nl = prefix + (f'nonlocal{m.group(1)}_{parts[1]}',)
+        if parts[3] in ('conv_in', 'conv_out'):
+            leaf = 'kernel' if parts[-1] == 'weight' else 'bias'
+            return [('params', nl + (parts[3], leaf))]
+        if parts[3] == 'bn':
+            return bn_paths(nl + ('bn',), parts[4])
+        if parts[3] == 'time_weighting':
+            return [('params', nl + ('time_weighting',))]
         return None
     if parts[1].isalpha():
         # R(2+1)D blocks are letter-named by the reference's ModuleList

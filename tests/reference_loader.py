@@ -340,6 +340,11 @@ def load_reference():
                      'models/backbones/resnet_r3d.py')
     mobilenet = _load_real('refcodes.models.backbones.mobilenet_v2',
                            'models/backbones/mobilenet_v2.py')
+    # the real backbones/__init__.py exports InvertedResidual
+    # (backbones/__init__.py:4), which recognizer2d.py:87 imports for the
+    # MobileNetV2 module-surgery isinstance checks
+    sys.modules['refcodes.models.backbones'].InvertedResidual = \
+        mobilenet.InvertedResidual
     bninception = _load_real('refcodes.models.backbones.bninception',
                              'models/backbones/bninception.py')
     inception_i3d = _load_real('refcodes.models.backbones.inception_v1_i3d',

@@ -488,3 +488,95 @@ class TestCoSTVsReferenceCode:
         labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
         compare_eval_and_train(ref, ref_model, model, variables, imgs,
                                labels)
+
+
+# ---------------------------------------------------------------------------
+# MobileNetV2 + MVF surgery (recognizer2d.py:87-103): MVF wraps the first
+# pointwise conv of every identity expansion InvertedResidual
+# ---------------------------------------------------------------------------
+
+class TestMobileNetV2MVFVsReferenceCode:
+    T = 4
+
+    @pytest.mark.parametrize('share', [False, True])
+    def test_jax_matches_reference(self, f64, ref, share):
+        torch.manual_seed(31 + share)
+        head = dict(type='TSNClsHead', spatial_size=-1, spatial_type='avg',
+                    dropout_ratio=0.0, in_channels=1280, init_std=0.01,
+                    num_classes=NUM_CLASSES)
+        module_cfg = dict(type='MVF', n_segment=self.T, alpha=0.5,
+                          share=share, mode='THW')
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer2D',
+                 backbone=dict(type='MobileNetV2'),
+                 cls_head=dict(head), module_cfg=dict(module_cfg)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        # the surgery actually wrapped conv[0]s
+        assert any('conv.0.shift_conv' in n
+                   for n, _ in ref_model.named_parameters())
+        perturb_bn(ref_model)
+        ref_model = ref_model.double()
+
+        flax_cfg = dict(type='Recognizer2D',
+                        backbone=dict(type='MobileNetV2', norm_eval=False),
+                        cls_head=dict(head),
+                        module_cfg=dict(module_cfg), dtype=None)
+        model, variables = to_jax_f64(
+            ref_model, flax_cfg, (1, self.T, HW, HW, 3))
+
+        rng = np.random.RandomState(37 + share)
+        imgs = rng.randn(B, self.T, HW, HW, 3).astype(np.float64) * 0.5
+        labels = rng.randint(0, NUM_CLASSES, size=(B,)).astype(np.int64)
+        compare_eval_and_train(ref, ref_model, model, variables, imgs,
+                               labels)
+
+    def test_import_report_complete(self, f64, ref):
+        """Importer vocabulary completeness for the MVF-wrapped MobileNetV2
+        names (``features.K.conv.0.{net,shift_conv,h_conv,w_conv,bn}.*``)."""
+        torch.manual_seed(41)
+        head = dict(type='TSNClsHead', spatial_size=-1, spatial_type='avg',
+                    dropout_ratio=0.0, in_channels=1280, init_std=0.01,
+                    num_classes=NUM_CLASSES)
+        module_cfg = dict(type='MVF', n_segment=self.T, alpha=0.5,
+                          share=False, mode='THW')
+        ref_model = ref.build_recognizer(
+            dict(type='Recognizer2D', backbone=dict(type='MobileNetV2'),
+                 cls_head=dict(head), module_cfg=dict(module_cfg)),
+            train_cfg=None, test_cfg=dict(average_clips=None))
+        model = build_recognizer(
+            dict(type='Recognizer2D',
+                 backbone=dict(type='MobileNetV2', norm_eval=False),
+                 cls_head=dict(head), module_cfg=dict(module_cfg),
+                 dtype=None),
+            test_cfg=dict(average_clips=None))
+        variables = model.init(
+            {'params': jax.random.PRNGKey(0),
+             'dropout': jax.random.PRNGKey(1)},
+            jnp.zeros((1, self.T, HW, HW, 3), jnp.float32),
+            jnp.zeros((1,), jnp.int32), return_loss=True, train=True)
+        sd = {k: v.detach().numpy()
+              for k, v in ref_model.state_dict().items()}
+        _, report = import_torch_weights(sd, variables, return_report=True)
+        assert not report['unexpected'], report['unexpected'][:5]
+        assert not report['missing'], report['missing'][:5]
+
+
+class TestReferenceTSMImportBug:
+    def test_tsm_surgery_is_unrunnable(self, ref):
+        """Reference bug #4 (found by executing it): the MobileNetV2+TSM
+        surgery does ``from ..modules import TemporalShift``
+        (recognizer2d.py:73-75), but ``TemporalShift`` exists nowhere in the
+        reference repo — ``codes/models/modules/__init__.py`` is empty and
+        no module file defines it. Every TSM-on-MobileNetV2 construction
+        raises ImportError; the reference TSM path was never runnable. Our
+        ``modules/tsm.py`` implements the evident TSM-paper semantics (and
+        runs: tests/test_models_breadth.py)."""
+        with pytest.raises(ImportError):
+            ref.build_recognizer(
+                dict(type='Recognizer2D',
+                     backbone=dict(type='MobileNetV2'),
+                     cls_head=dict(type='TSNClsHead', spatial_size=-1,
+                                   spatial_type='avg', dropout_ratio=0.0,
+                                   in_channels=1280, num_classes=NUM_CLASSES),
+                     module_cfg=dict(type='tsm', n_segment=4, n_div=8)),
+                train_cfg=None, test_cfg=dict(average_clips=None))

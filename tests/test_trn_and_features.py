@@ -37,7 +37,8 @@ class TestTRNConsensus:
         variables = trn.init(jax.random.PRNGKey(0), x)
         names = set(variables['params'])
         # scales 4,3,2 each with fc1/fc2
-        assert {'scale4_fc1', 'scale3_fc1', 'scale2_fc1'} <= names
+        assert {'fc_fusion_0_fc1', 'fc_fusion_1_fc1',
+                'fc_fusion_2_fc1'} <= names
 
 
 class TestFeatureExtraction:
