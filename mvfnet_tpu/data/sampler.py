@@ -46,9 +46,15 @@ class GroupSampler:
                 continue
             idx = np.where(self.flags == flag)[0]
             idx = idx[rng.permutation(len(idx))]
-            pad_n = (-len(idx)) % self.samples_per_batch
-            if pad_n:
-                idx = np.concatenate([idx, idx[:pad_n]])
+            # pad to a multiple of samples_per_batch; np.tile (not a single
+            # idx[:pad_n] slice) so groups smaller than the batch size fill
+            # correctly — the reference's slice-pad (sampler.py:35-37)
+            # crashes its own length assert there
+            target = int(np.ceil(size / self.samples_per_batch)
+                         ) * self.samples_per_batch
+            if target > len(idx):
+                reps = -(-target // len(idx))
+                idx = np.tile(idx, reps)[:target]
             batches.extend(np.split(idx, len(idx) // self.samples_per_batch))
         order = rng.permutation(len(batches))
         return [int(i) for b in order for i in batches[b]]
@@ -61,21 +67,52 @@ class GroupSampler:
 
 
 class DistributedGroupSampler(GroupSampler):
-    """GroupSampler + rank-strided sharding (reference ``sampler.py:81-163``)."""
+    """GroupSampler + contiguous block sharding (reference
+    ``sampler.py:81-163``): each group is padded to a multiple of
+    ``samples_per_batch * world_size``, the ``samples_per_batch``-blocks are
+    permuted globally, and each rank takes a contiguous ``num_samples``
+    slice — so every rank's batches stay flag-homogeneous and
+    ``num_samples = sum_g ceil(size_g / spb / W) * spb``
+    (``sampler.py:115-120``). An earlier version rank-strided the flat
+    sequence, which interleaved blocks and broke per-rank batch
+    homogeneity — caught by executing the reference sampler
+    (tests/test_reference_aux_parity.py)."""
 
     def __init__(self, flags, samples_per_batch: int, world_size: int = 1,
                  rank: int = 0, seed: int = 0):
         super().__init__(flags, samples_per_batch, seed)
         self.world_size = world_size
         self.rank = rank
-        self.num_samples = int(
-            np.ceil(super().__len__() / world_size))
+        self.num_samples = int(sum(
+            int(np.ceil(s / (samples_per_batch * world_size)))
+            * samples_per_batch for s in self.group_sizes))
 
     def local_indices(self) -> List[int]:
-        all_idx = super().local_indices()
-        pad_n = self.num_samples * self.world_size - len(all_idx)
-        all_idx = all_idx + all_idx[:pad_n]
-        return all_idx[self.rank::self.world_size]
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch]))
+        spb = self.samples_per_batch
+        parts = []
+        for flag, size in enumerate(self.group_sizes):
+            if size == 0:
+                continue
+            idx = np.where(self.flags == flag)[0]
+            idx = idx[rng.permutation(len(idx))]
+            # pad to a multiple of spb * world_size (reference
+            # sampler.py:134-138 slice-pads; np.tile so the pad survives
+            # pads longer than the group)
+            target = int(np.ceil(size / (spb * self.world_size))
+                         ) * spb * self.world_size
+            if target > len(idx):
+                reps = -(-target // len(idx))
+                idx = np.tile(idx, reps)[:target]
+            parts.append(idx)
+        if not parts:
+            return []
+        blocks = np.concatenate(parts).reshape(-1, spb)
+        blocks = blocks[rng.permutation(len(blocks))]
+        flat = blocks.reshape(-1)
+        off = self.num_samples * self.rank
+        return [int(i) for i in flat[off:off + self.num_samples]]
 
 
 class ShardedSampler:

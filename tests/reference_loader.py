@@ -497,3 +497,70 @@ def load_reference_checkpoint():
     _ckpt_cache = _load_real('refcodes.utils.checkpoint',
                              'utils/checkpoint.py')
     return _ckpt_cache
+
+
+_aux_cache = None
+
+
+def load_reference_aux():
+    """Import the last runnable slice of the reference surface: the loader
+    samplers (``codes/datasets/loader/sampler.py``), the non-dist
+    ``build_dataloader`` (``loader/build_loader.py``), the FLOPs hook
+    (``codes/utils/flops_hook.py`` + ``misc.py``), and the Pkl / Video
+    datasets. Adds an ``mmcv.VideoReader`` shim (cv2.VideoCapture with
+    CAP_PROP_POS_FRAMES random access — mmcv's own implementation is the
+    same cv2 seek) so ``OpenCVDecode`` (loading.py:337-372) and the
+    SampleFrames video-probe branch (loading.py:115-122) execute for real;
+    parity tests feed intra-only MJPG so seek decode is deterministic."""
+    global _aux_cache
+    if _aux_cache is not None:
+        return _aux_cache
+
+    pipe = load_reference_pipelines()
+
+    import cv2
+
+    mmcv = sys.modules['mmcv']
+
+    class _VideoReader:
+        def __init__(self, filename):
+            self._cap = cv2.VideoCapture(filename)
+            if not self._cap.isOpened():
+                raise IOError(f'cannot open {filename}')
+            self.frame_cnt = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+        def __getitem__(self, idx):
+            self._cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx))
+            ok, frame = self._cap.read()
+            return frame if ok else None
+
+        def __len__(self):
+            return self.frame_cnt
+
+    mmcv.VideoReader = _VideoReader
+
+    _fake_package('refcodes.datasets.loader')
+    sampler = _load_real('refcodes.datasets.loader.sampler',
+                         'datasets/loader/sampler.py')
+    build_loader = _load_real('refcodes.datasets.loader.build_loader',
+                              'datasets/loader/build_loader.py')
+    flops_hook = _load_real('refcodes.utils.flops_hook',
+                            'utils/flops_hook.py')
+    misc = _load_real('refcodes.utils.misc', 'utils/misc.py')
+    pkl_dataset = _load_real('refcodes.datasets.pkl_dataset',
+                             'datasets/pkl_dataset.py')
+    video_dataset = _load_real('refcodes.datasets.video_dataset',
+                               'datasets/video_dataset.py')
+
+    _aux_cache = types.SimpleNamespace(
+        pipe=pipe,
+        GroupSampler=sampler.GroupSampler,
+        DistributedSampler=sampler.DistributedSampler,
+        DistributedGroupSampler=sampler.DistributedGroupSampler,
+        build_dataloader=build_loader.build_dataloader,
+        profile=flops_hook.profile,
+        params_count=misc.params_count,
+        PklDataset=pkl_dataset.PklDataset,
+        VideoDataset=video_dataset.VideoDataset,
+    )
+    return _aux_cache
