@@ -74,6 +74,29 @@ def _install_mmcv_shim():
     mmcv.is_tuple_of = lambda seq, t: (isinstance(seq, tuple)
                                        and all(isinstance(i, t) for i in seq))
 
+    # -- mmcv.dump/load (pickle flavor only — all reference call sites use
+    #    .pkl: core/test.py:124,135) and a silent ProgressBar.
+    def _dump(obj, file):
+        import pickle
+        with open(file, 'wb') as f:
+            pickle.dump(obj, f)
+
+    def _load(file):
+        import pickle
+        with open(file, 'rb') as f:
+            return pickle.load(f)
+
+    class _ProgressBar:
+        def __init__(self, task_num=0, **kw):
+            self.task_num = task_num
+
+        def update(self, *a, **k):
+            pass
+
+    mmcv.dump = _dump
+    mmcv.load = _load
+    mmcv.ProgressBar = _ProgressBar
+
     # -- image ops used by datasets/pipelines/augmentations.py. Implemented
     #    here to mmcv v0.x's documented semantics (mmcv/image/geometric.py:
     #    thin cv2 wrappers; imresize size is (w, h), imrescale rounds
@@ -564,3 +587,88 @@ def load_reference_aux():
         VideoDataset=video_dataset.VideoDataset,
     )
     return _aux_cache
+
+
+_disttest_cache = None
+
+
+def load_reference_disttest():
+    """Import the reference's distributed-test / dist-utils / io-utils slice:
+    ``core/test.py`` (single_gpu_test + collect_results_{cpu,gpu}),
+    ``core/dist_utils.py`` (coalesced grad allreduce), ``utils/logger.py``,
+    ``utils/file_client.py``, and the ``RecognizerC2D`` class. The torch
+    ``dist`` calls inside test.py/dist_utils.py are NOT stubbed here — parity
+    tests monkeypatch the loaded modules' ``dist`` / ``get_dist_info``
+    attributes per simulated rank so the reference's own collection and
+    reduction logic executes for real."""
+    global _disttest_cache
+    if _disttest_cache is not None:
+        return _disttest_cache
+
+    ref = load_reference()  # mmcv shim + refcodes.models graph
+
+    test_mod = _load_real('refcodes.core.test', 'core/test.py')
+    dist_utils = _load_real('refcodes.core.dist_utils', 'core/dist_utils.py')
+    logger_mod = _load_real('refcodes.utils.logger', 'utils/logger.py')
+    file_client = _load_real('refcodes.utils.file_client',
+                             'utils/file_client.py')
+    c2d = _load_real('refcodes.models.recognizers.recognizerc2d',
+                     'models/recognizers/recognizerc2d.py')
+
+    _disttest_cache = types.SimpleNamespace(
+        ref=ref,
+        test_mod=test_mod,
+        single_gpu_test=test_mod.single_gpu_test,
+        collect_results_cpu=test_mod.collect_results_cpu,
+        dist_utils=dist_utils,
+        allreduce_coalesced=dist_utils._allreduce_coalesced,
+        logger_mod=logger_mod,
+        FileClient=file_client.FileClient,
+        RecognizerC2D=c2d.RecognizerC2D,
+    )
+    return _disttest_cache
+
+
+_evalhooks_cache = None
+
+
+def load_reference_eval_hooks():
+    """Import the reference eval-hook module (``core/evaluation/eval_hooks.py``)
+    with its real accuracy + parallel-collate dependency chain, so
+    ``DistEvalTopKAccuracyHook.evaluate`` (the metric/log composition our
+    ``EvalHook`` replaces) executes as an oracle. ``scatter`` needs CUDA
+    machinery only at call time; the hook's eval loop is not exercised."""
+    global _evalhooks_cache
+    if _evalhooks_cache is not None:
+        return _evalhooks_cache
+
+    load_reference_aux()  # datasets graph + mmcv shim
+
+    _fake_package('refcodes.core.parallel')
+    dc = _load_real('refcodes.core.parallel.data_container',
+                    'core/parallel/data_container.py')
+    col = _load_real('refcodes.core.parallel.collate',
+                     'core/parallel/collate.py')
+    par = sys.modules['refcodes.core.parallel']
+    par.DataContainer = dc.DataContainer
+    par.collate = col.collate
+    _load_real('refcodes.core.parallel._functions',
+               'core/parallel/_functions.py')
+    sg = _load_real('refcodes.core.parallel.scatter_gather',
+                    'core/parallel/scatter_gather.py')
+    par.scatter = sg.scatter
+
+    _fake_package('refcodes.core.evaluation')
+    acc = _load_real('refcodes.core.evaluation.accuracy',
+                     'core/evaluation/accuracy.py')
+    eval_hooks = _load_real('refcodes.core.evaluation.eval_hooks',
+                            'core/evaluation/eval_hooks.py')
+
+    _evalhooks_cache = types.SimpleNamespace(
+        accuracy=acc,
+        eval_hooks=eval_hooks,
+        DistEvalTopKAccuracyHook=eval_hooks.DistEvalTopKAccuracyHook,
+        collate=col.collate,
+        DataContainer=dc.DataContainer,
+    )
+    return _evalhooks_cache
