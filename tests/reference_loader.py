@@ -672,3 +672,29 @@ def load_reference_eval_hooks():
         DataContainer=dc.DataContainer,
     )
     return _evalhooks_cache
+
+
+_fp16_cache = None
+
+
+def load_reference_fp16():
+    """Import the reference fp16 subsystem (``core/fp16/hooks.py``):
+    Fp16OptimizerHook (static loss scale, fp32 master weights),
+    wrap_fp16_model / patch_norm_fp32. Runs on CPU with
+    ``distributed=False``; the ``allreduce_grads`` import resolves against
+    the real ``core/dist_utils.py``."""
+    global _fp16_cache
+    if _fp16_cache is not None:
+        return _fp16_cache
+
+    load_reference_disttest()  # loads refcodes.core.dist_utils
+
+    hooks = _load_real('refcodes.core.fp16.hooks', 'core/fp16/hooks.py')
+
+    _fp16_cache = types.SimpleNamespace(
+        hooks=hooks,
+        Fp16OptimizerHook=hooks.Fp16OptimizerHook,
+        wrap_fp16_model=hooks.wrap_fp16_model,
+        patch_norm_fp32=hooks.patch_norm_fp32,
+    )
+    return _fp16_cache
